@@ -1,0 +1,121 @@
+"""Global configuration for the DeepSense6G-TII TPU framework.
+
+Mirrors the capability surface of the reference ``GlobalConfig``
+(/root/reference/config_seq.py:3-45) plus every CLI flag that the reference
+copies onto the config object at startup (/root/reference/train2_seq.py:30-68,
+413-425).  Unlike the reference — where the config is a mutable class with
+flags grafted on at runtime — this is a frozen dataclass, so every jitted
+function can close over it as a static value and XLA sees fully static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class GlobalConfig:
+    # ---- data (config_seq.py:6-16) ----
+    seq_len: int = 5                 # input timesteps
+    pred_len: int = 1                # beams predicted per sample (30to5 variant: 5)
+    gps_len: int = 2                 # GPS samples per sequence
+    data_root: str = "./Dataset"
+    n_views: int = 1                 # camera views
+    input_resolution: int = 256
+    scale: int = 1
+    crop: int = 256
+    num_beams: int = 64
+
+    # ---- optimization (config_seq.py:18) ----
+    lr: float = 1e-4
+
+    # ---- Mamba toggles (config_seq.py:21-22) ----
+    FFM: int = 1                     # Feature Fusion Mamba (vs GPT attention fusion)
+    TFM: int = 1                     # Time Fusion Mamba (vs token-sum head)
+
+    # ---- modality missing (config_seq.py:25-26) ----
+    modality_missing: Optional[str] = None        # image|lidar|radar|lidar_radar
+    modality_missing_type: str = "zerolike"       # zerolike|randlike
+
+    # ---- conv encoder anchors (config_seq.py:29-31) ----
+    vert_anchors: int = 8
+    horz_anchors: int = 8
+
+    # ---- GPT encoder (config_seq.py:34-41) ----
+    n_embd: int = 512
+    block_exp: int = 4
+    n_layer: int = 8
+    n_head: int = 4
+    n_scale: int = 4
+    embd_pdrop: float = 0.1
+    resid_pdrop: float = 0.1
+    attn_pdrop: float = 0.1
+
+    # ---- Mamba block dims (mambafuser_seq.py:83-90) ----
+    d_state: int = 16
+    d_conv: int = 4
+    expand: int = 2
+
+    # ---- flags copied onto config by the reference CLI (train2_seq.py:413-425) ----
+    add_velocity: int = 1            # radar velocity map as 2nd radar channel
+    add_mask: int = 0
+    enhanced: int = 1
+    angle_norm: int = 1
+    custom_FoV_lidar: int = 1
+    filtered: int = 0
+    add_seg: int = 0
+
+    # ---- TPU-native knobs (no reference equivalent) ----
+    param_dtype: str = "float32"     # parameter dtype
+    compute_dtype: str = "bfloat16"  # activation/matmul dtype on the MXU
+    use_pallas_scan: bool = True     # Pallas selective-scan vs associative_scan ref
+    remat: bool = False              # jax.checkpoint over encoder stages
+
+    @property
+    def anchors(self) -> int:
+        return self.vert_anchors * self.horz_anchors
+
+    @property
+    def n_tokens(self) -> int:
+        """Fused token count: 3 modalities x seq_len x 8x8 anchors + gps tokens.
+
+        962 for the 5-frame task, 1922 for the 30to5 variant
+        (model2_seq.py:189; model2_seq_30to5.py:624).
+        """
+        return (self.n_views + 2) * self.seq_len * self.anchors + self.gps_len
+
+    def replace(self, **kw) -> "GlobalConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "GlobalConfig":
+        return cls(**json.loads(s))
+
+
+# Per-scenario LiDAR field-of-view bins (data2_seq.py:190-202): (x_lo, x_hi, y_lo, y_hi)
+SCENARIO_FOV: Tuple[Tuple[str, Tuple[float, float, float, float]], ...] = (
+    ("scenario31", (-70.0, 0.0, -25.0, 14.0)),
+    ("scenario32", (-60.0, 0.0, -40.0, 5.5)),
+    ("scenario33", (-50.0, 0.0, -12.0, 7.0)),
+    ("scenario34", (-50.0, 0.0, -20.0, 10.0)),
+)
+DEFAULT_FOV: Tuple[float, float, float, float] = (-50.0, 0.0, -50.0, 50.0)
+
+# Per-scenario base-station boresight offsets in degrees (data2_seq.py:264-272).
+SCENARIO_ANGLE_OFFSET = {
+    "scenario31": -50.52,
+    "scenario32": 44.8,
+    "scenario33": 55.6,
+    "scenario34": -60.0,
+}
+
+# GPS min-max normalization constants (data2_seq.py:251-252).
+POS_MAX = (40.20955233, 52.31386139)
+POS_MIN = (-7.18029715, -97.55563452)
+
+SCENARIOS = ("scenario31", "scenario32", "scenario33", "scenario34")
