@@ -1,0 +1,369 @@
+"""Selective state-space scan (the Mamba recurrence) for TPU.
+
+Replaces the ``mamba_ssm`` CUDA selective-scan kernel the reference depends on
+(/root/reference/mambafuser_seq.py:9,83-90).  Semantics, per channel d and
+state n:
+
+    h_t = exp(dt_t * A[d,n]) * h_{t-1} + (dt_t * u_t) * B_t[n]
+    y_t = sum_n h_t[d,n] * C_t[n]            (+ D[d] * u_t, applied by caller)
+
+Implementations:
+
+* ``selective_scan_ref`` — ``jax.lax.associative_scan``.  O(L log L) HBM
+  traffic but runs anywhere and is automatically differentiable; the golden
+  reference for tests.
+* ``selective_scan`` — Pallas TPU kernels (forward + fused backward) with
+  O(L) HBM traffic.  The hidden state lives in VMEM scratch and is carried
+  across sequence chunks by the sequential TPU grid; the backward recomputes
+  in-chunk states from chunk-boundary states saved by the forward (no
+  O(L*d*n) residuals) and runs the gradient recurrence
+  g_t = dy_t (x) C_t + exp(dt_{t+1} A) * g_{t+1} in reverse.
+
+  Two kernel variants share the wrapper:
+    - ``chunked`` (default): within each VMEM-resident chunk the scan runs as
+      a Hillis-Steele doubling over the time axis — log2(BL) dense
+      (BL, n, BD) VPU passes instead of BL tiny sequential steps.
+    - ``sequential``: a fori_loop over time steps; simpler, used as a
+      cross-check and for very small batches.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# chunk length along the sequence axis / channel block width
+BL = 128
+BD = 128
+
+
+def selective_scan_ref(u: jnp.ndarray, dt: jnp.ndarray, A: jnp.ndarray,
+                       B: jnp.ndarray, C: jnp.ndarray) -> jnp.ndarray:
+    """Associative-scan reference.
+
+    u, dt: (b, L, d);  A: (d, n);  B, C: (b, L, n).  Returns (b, L, d) f32.
+    """
+    u = u.astype(jnp.float32)
+    dt = dt.astype(jnp.float32)
+    A = A.astype(jnp.float32)
+    B = B.astype(jnp.float32)
+    C = C.astype(jnp.float32)
+    dA = jnp.exp(dt[..., None] * A)                       # (b, L, d, n)
+    dBu = (dt * u)[..., None] * B[:, :, None, :]          # (b, L, d, n)
+
+    def combine(x, y):
+        a1, b1 = x
+        a2, b2 = y
+        return a1 * a2, a2 * b1 + b2
+
+    _, h = jax.lax.associative_scan(combine, (dA, dBu), axis=1)
+    return jnp.einsum("bldn,bln->bld", h, C)
+
+
+# ---------------------------------------------------------------------------
+# in-chunk scan bodies
+# ---------------------------------------------------------------------------
+
+def _shift_down(x: jnp.ndarray, s: int, fill: float) -> jnp.ndarray:
+    """x[t] -> x[t-s] along axis 0, first s rows = fill."""
+    pad = jnp.full((s,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([pad, x[:-s]], axis=0)
+
+
+def _shift_up(x: jnp.ndarray, s: int, fill: float) -> jnp.ndarray:
+    """x[t] -> x[t+s] along axis 0, last s rows = fill."""
+    pad = jnp.full((s,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([x[s:], pad], axis=0)
+
+
+def _doubling_scan_rev(a: jnp.ndarray, b: jnp.ndarray):
+    """Reverse inclusive scan of g[t] = b[t] + a[t] g[t+1], g[T] = 0.
+
+    Returns (a_cum, g) with a_cum[t] = prod_{s>=t} a[s] (tail product), so a
+    carried-in final state G adds as g[t] += a_cum[t] * G.
+    """
+    T = a.shape[0]
+    s = 1
+    while s < T:
+        b = b + a * _shift_up(b, s, 0.0)
+        a = a * _shift_up(a, s, 1.0)
+        s *= 2
+    return a, b
+
+
+def _doubling_scan(a: jnp.ndarray, b: jnp.ndarray):
+    """Inclusive scan of h[t] = a[t] h[t-1] + b[t] over axis 0, h[-1] = 0.
+
+    Returns (a_cum, h) where a_cum[t] = prod_{s<=t} a[s].
+    Hillis-Steele: log2(T) dense passes, all VPU work.
+    """
+    T = a.shape[0]
+    s = 1
+    while s < T:
+        b = b + a * _shift_down(b, s, 0.0)
+        a = a * _shift_down(a, s, 1.0)
+        s *= 2
+    return a, b
+
+
+def _chunk_scan(a1, bb, h_in):
+    """All in-chunk states from per-step decays a1, updates bb, entry state."""
+    a_cum, h_rel = _doubling_scan(a1, bb)
+    return h_rel + a_cum * h_in[None]
+
+
+# ---------------------------------------------------------------------------
+# Pallas forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel_chunked(u_ref, dt_ref, b_ref, c_ref, at_ref,
+                        y_ref, hin_ref, hout_ref, h_scr):
+    lc = pl.program_id(2)
+
+    @pl.when(lc == 0)
+    def _():
+        h_scr[...] = jnp.zeros_like(h_scr)
+
+    hin_ref[0, 0] = h_scr[...]
+
+    A_t = at_ref[...]                                      # (n, BD)
+    dt = dt_ref[0].astype(jnp.float32)                     # (BL, BD)
+    u = u_ref[0].astype(jnp.float32)
+    Bv = b_ref[0].astype(jnp.float32)                      # (BL, n)
+    Cv = c_ref[0].astype(jnp.float32)
+
+    a1 = jnp.exp(dt[:, None, :] * A_t[None])               # (BL, n, BD)
+    bb = Bv[:, :, None] * (dt * u)[:, None, :]             # (BL, n, BD)
+    h = _chunk_scan(a1, bb, h_scr[...])                    # (BL, n, BD)
+
+    y_ref[0] = jnp.sum(h * Cv[:, :, None], axis=1).astype(y_ref.dtype)
+    h_scr[...] = h[BL - 1]
+
+    @pl.when(lc == pl.num_programs(2) - 1)
+    def _():
+        hout_ref[0] = h[BL - 1]
+
+
+def _fwd_kernel_sequential(u_ref, dt_ref, b_ref, c_ref, at_ref,
+                           y_ref, hin_ref, hout_ref, h_scr):
+    lc = pl.program_id(2)
+
+    @pl.when(lc == 0)
+    def _():
+        h_scr[...] = jnp.zeros_like(h_scr)
+
+    a_t_full = at_ref[...]                                 # (n, BD)
+    hin_ref[0, 0] = h_scr[...]
+
+    def step(t, h):
+        dt_t = dt_ref[0, t, :].astype(jnp.float32)
+        u_t = u_ref[0, t, :].astype(jnp.float32)
+        b_t = b_ref[0, t, :].astype(jnp.float32)
+        c_t = c_ref[0, t, :].astype(jnp.float32)
+        a = jnp.exp(a_t_full * dt_t[None, :])
+        h = a * h + b_t[:, None] * (dt_t * u_t)[None, :]
+        y_ref[0, t, :] = jnp.sum(h * c_t[:, None], axis=0).astype(y_ref.dtype)
+        return h
+
+    h = jax.lax.fori_loop(0, u_ref.shape[1], step, h_scr[...])
+    h_scr[...] = h
+
+    @pl.when(lc == pl.num_programs(2) - 1)
+    def _():
+        hout_ref[0] = h
+
+
+def _scan_fwd_pallas(u, dt, B, C, A_t, variant, interpret=False):
+    b, L, d = u.shape
+    n = B.shape[-1]
+    nc = L // BL
+    nd = d // BD
+    grid = (b, nd, nc)
+    kernel = (_fwd_kernel_chunked if variant == "chunked"
+              else _fwd_kernel_sequential)
+
+    y, h_in, h_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BL, BD), lambda i, j, k: (i, k, j)),   # u
+            pl.BlockSpec((1, BL, BD), lambda i, j, k: (i, k, j)),   # dt
+            pl.BlockSpec((1, BL, n), lambda i, j, k: (i, k, 0)),    # B
+            pl.BlockSpec((1, BL, n), lambda i, j, k: (i, k, 0)),    # C
+            pl.BlockSpec((n, BD), lambda i, j, k: (0, j)),          # A.T
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BL, BD), lambda i, j, k: (i, k, j)),       # y
+            pl.BlockSpec((1, 1, n, BD), lambda i, j, k: (i, k, 0, j)),  # h_in
+            pl.BlockSpec((1, n, BD), lambda i, j, k: (i, 0, j)),        # h_out
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, L, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, nc, n, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, d), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((n, BD), jnp.float32)],
+        interpret=interpret,
+    )(u, dt, B, C, A_t)
+    return y, h_in, h_out
+
+
+# ---------------------------------------------------------------------------
+# Pallas backward
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel_chunked(u_ref, dt_ref, b_ref, c_ref, at_ref, hin_ref, dy_ref,
+                        du_ref, ddt_ref, db_ref, dc_ref, da_ref,
+                        g_scr):
+    lc = pl.program_id(2)
+
+    @pl.when(lc == 0)   # reverse order: first grid step is the LAST chunk
+    def _():
+        g_scr[...] = jnp.zeros_like(g_scr)
+
+    A_t = at_ref[...]                                      # (n, BD)
+    dt = dt_ref[0].astype(jnp.float32)                     # (BL, BD)
+    u = u_ref[0].astype(jnp.float32)
+    Bv = b_ref[0].astype(jnp.float32)                      # (BL, n)
+    Cv = c_ref[0].astype(jnp.float32)
+    dy = dy_ref[0].astype(jnp.float32)                     # (BL, BD)
+    h_in = hin_ref[0, 0]                                   # (n, BD)
+
+    a1 = jnp.exp(dt[:, None, :] * A_t[None])               # (BL, n, BD)
+    dtu = (dt * u)[:, None, :]                             # (BL, 1, BD)
+    bb = Bv[:, :, None] * dtu
+    hs = _chunk_scan(a1, bb, h_in)                         # states h_t
+    h_prev = jnp.concatenate([h_in[None], hs[:-1]], axis=0)
+
+    # reverse recurrence g[t] = q[t] + a1[t+1] g[t+1], incoming carry
+    # G = a1[first of later chunk] * g[first of later chunk]
+    q = Cv[:, :, None] * dy[:, None, :]                    # (BL, n, BD)
+    a_up = _shift_up(a1, 1, 1.0)                           # a_up[t] = a1[t+1]
+    a_cum, g_rel = _doubling_scan_rev(a_up, q)
+    g = g_rel + a_cum * g_scr[...][None]                   # (BL, n, BD)
+    g_scr[...] = a1[0] * g[0]                              # carry for chunk-1
+
+    gb = jnp.sum(g * Bv[:, :, None], axis=1)               # (BL, BD)
+    du_ref[0] = (dt * gb).astype(du_ref.dtype)
+    gsa = g * h_prev * a1                                  # (BL, n, BD)
+    ddt_ref[0] = (gb * u + jnp.sum(gsa * A_t[None], axis=1)).astype(ddt_ref.dtype)
+    db_ref[0, 0] = jnp.sum(g * dtu, axis=2).astype(db_ref.dtype)
+    dc_ref[0, 0] = jnp.sum(hs * dy[:, None, :], axis=2).astype(dc_ref.dtype)
+    da_acc = jnp.sum(gsa * dt[:, None, :], axis=0)         # (n, BD)
+
+    @pl.when(lc == 0)
+    def _():
+        da_ref[0] = da_acc
+
+    @pl.when(lc > 0)
+    def _():
+        da_ref[0] = da_ref[0] + da_acc
+
+
+def _scan_bwd_pallas(u, dt, B, C, A_t, h_in, dy, interpret=False):
+    b, L, d = u.shape
+    n = B.shape[-1]
+    nc = L // BL
+    nd = d // BD
+    grid = (b, nd, nc)
+
+    def rev(i, j, k):
+        return (i, nc - 1 - k, j)
+
+    du, ddt, dB_p, dC_p, dA_p = pl.pallas_call(
+        _bwd_kernel_chunked,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BL, BD), rev),                            # u
+            pl.BlockSpec((1, BL, BD), rev),                            # dt
+            pl.BlockSpec((1, BL, n), lambda i, j, k: (i, nc - 1 - k, 0)),
+            pl.BlockSpec((1, BL, n), lambda i, j, k: (i, nc - 1 - k, 0)),
+            pl.BlockSpec((n, BD), lambda i, j, k: (0, j)),             # A.T
+            pl.BlockSpec((1, 1, n, BD),
+                         lambda i, j, k: (i, nc - 1 - k, 0, j)),       # h_in
+            pl.BlockSpec((1, BL, BD), rev),                            # dy
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BL, BD), rev),                            # du
+            pl.BlockSpec((1, BL, BD), rev),                            # ddt
+            pl.BlockSpec((1, 1, BL, n),
+                         lambda i, j, k: (i, j, nc - 1 - k, 0)),       # dB part
+            pl.BlockSpec((1, 1, BL, n),
+                         lambda i, j, k: (i, j, nc - 1 - k, 0)),       # dC part
+            pl.BlockSpec((1, n, BD), lambda i, j, k: (i, 0, j)),       # dA part
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, L, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, L, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, nd, L, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, nd, L, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, BD), jnp.float32),        # g carry
+        ],
+        interpret=interpret,
+    )(u, dt, B, C, A_t, h_in, dy)
+
+    dB = dB_p.sum(axis=1)                           # (b, L, n)
+    dC = dC_p.sum(axis=1)
+    dA = dA_p.sum(axis=0)                           # (n, d)
+    return du, ddt, dB, dC, dA.T
+
+
+# ---------------------------------------------------------------------------
+# public custom-vjp op
+# ---------------------------------------------------------------------------
+
+def _pad_len(L: int) -> int:
+    return (BL - L % BL) % BL
+
+
+def _pad_seq(x, pad):
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def selective_scan(u, dt, A, B, C, interpret=False, variant="chunked"):
+    """Pallas selective scan.  Same contract as ``selective_scan_ref``.
+
+    d must be a multiple of 128; L is padded internally to a multiple of BL.
+    ``interpret=True`` runs the kernels in interpreter mode (CPU tests).
+    """
+    y, _ = _fwd_impl(u, dt, A, B, C, interpret, variant)
+    return y
+
+
+def _fwd_impl(u, dt, A, B, C, interpret, variant):
+    b, L, d = u.shape
+    pad = _pad_len(L)
+    up, dtp, Bp, Cp = (_pad_seq(x.astype(jnp.float32), pad)
+                       for x in (u, dt, B, C))
+    A_t = A.astype(jnp.float32).T                   # (n, d)
+    y, h_in, _ = _scan_fwd_pallas(up, dtp, Bp, Cp, A_t, variant,
+                                  interpret=interpret)
+    return y[:, :L], (up, dtp, Bp, Cp, A_t, h_in, L)
+
+
+def _fwd_rule(u, dt, A, B, C, interpret, variant):
+    y, res = _fwd_impl(u, dt, A, B, C, interpret, variant)
+    return y, res
+
+
+def _bwd_rule(interpret, variant, res, dy):
+    del variant  # backward is always chunked
+    up, dtp, Bp, Cp, A_t, h_in, L = res
+    pad = up.shape[1] - L
+    dyp = _pad_seq(dy.astype(jnp.float32), pad)
+    du, ddt, dB, dC, dA = _scan_bwd_pallas(
+        up, dtp, Bp, Cp, A_t, h_in, dyp, interpret=interpret)
+    return du[:, :L], ddt[:, :L], dA, dB[:, :L], dC[:, :L]
+
+
+selective_scan.defvjp(_fwd_rule, _bwd_rule)

@@ -1,0 +1,146 @@
+"""Ops-layer tests: selective scan (Pallas interpret vs reference), Mamba
+layer, bilinear resize and pooling vs torch-CPU oracles."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepsense6g_tii_tpu.ops.selective_scan import (selective_scan,
+                                                    selective_scan_ref)
+from deepsense6g_tii_tpu.ops.mamba import Mamba
+from deepsense6g_tii_tpu.ops.pooling import (adaptive_avg_pool,
+                                             global_avg_pool, max_pool_3x3s2)
+from deepsense6g_tii_tpu.ops.resize import interpolate_bilinear
+
+
+def _scan_inputs(rng, b=2, L=300, d=128, n=16):
+    u = jnp.asarray(rng.normal(size=(b, L, d)).astype(np.float32))
+    dt = jnp.asarray(np.abs(rng.normal(size=(b, L, d))).astype(np.float32) * 0.1)
+    A = jnp.asarray(-np.abs(rng.normal(size=(d, n))).astype(np.float32))
+    B = jnp.asarray(rng.normal(size=(b, L, n)).astype(np.float32))
+    C = jnp.asarray(rng.normal(size=(b, L, n)).astype(np.float32))
+    return u, dt, A, B, C
+
+
+class TestSelectiveScanRef:
+    def test_matches_naive_loop(self, rng):
+        u, dt, A, B, C = _scan_inputs(rng, b=1, L=20, d=4, n=3)
+        y = np.asarray(selective_scan_ref(u, dt, A, B, C))
+        h = np.zeros((4, 3))
+        un, dtn, An, Bn, Cn = (np.asarray(v) for v in (u, dt, A, B, C))
+        for t in range(20):
+            h = np.exp(dtn[0, t][:, None] * An) * h \
+                + (dtn[0, t] * un[0, t])[:, None] * Bn[0, t][None]
+            np.testing.assert_allclose(y[0, t], h @ Cn[0, t], rtol=2e-5, atol=1e-5)
+
+
+class TestSelectiveScanPallas:
+    @pytest.mark.parametrize("variant", ["chunked", "sequential"])
+    def test_forward_matches_ref(self, rng, variant):
+        u, dt, A, B, C = _scan_inputs(rng)
+        y_ref = selective_scan_ref(u, dt, A, B, C)
+        y = selective_scan(u, dt, A, B, C, True, variant)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_gradients_match_ref(self, rng):
+        args = _scan_inputs(rng)
+        g_ref = jax.grad(lambda *a: (selective_scan_ref(*a) ** 2).sum(),
+                         argnums=(0, 1, 2, 3, 4))(*args)
+        g_pal = jax.grad(lambda *a: (selective_scan(*a, True) ** 2).sum(),
+                         argnums=(0, 1, 2, 3, 4))(*args)
+        for gr, gp in zip(g_ref, g_pal):
+            scale = max(float(jnp.abs(gr).max()), 1e-6)
+            np.testing.assert_allclose(np.asarray(gp) / scale,
+                                       np.asarray(gr) / scale,
+                                       rtol=2e-4, atol=2e-5)
+
+    def test_exact_chunk_multiple_length(self, rng):
+        u, dt, A, B, C = _scan_inputs(rng, L=256)
+        y_ref = selective_scan_ref(u, dt, A, B, C)
+        y = selective_scan(u, dt, A, B, C, True)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
+class TestMambaLayer:
+    def test_shapes_and_grad(self, rng):
+        m = Mamba(d_model=64, use_pallas=False)
+        x = jnp.asarray(rng.normal(size=(2, 10, 64)).astype(np.float32))
+        params = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(params, x)
+        assert y.shape == (2, 10, 64)
+        g = jax.grad(lambda p: (m.apply(p, x) ** 2).sum())(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+    def test_causality(self, rng):
+        """Output at time t must not depend on inputs at t' > t."""
+        m = Mamba(d_model=32, use_pallas=False)
+        x = jnp.asarray(rng.normal(size=(1, 12, 32)).astype(np.float32))
+        params = m.init(jax.random.PRNGKey(0), x)
+        y1 = m.apply(params, x)
+        x2 = x.at[0, 8:].set(99.0)
+        y2 = m.apply(params, x2)
+        np.testing.assert_allclose(np.asarray(y1[0, :8]), np.asarray(y2[0, :8]),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_param_structure(self):
+        m = Mamba(d_model=64)
+        params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 64)))["params"]
+        assert params["in_proj"]["kernel"].shape == (64, 256)
+        assert params["x_proj"]["kernel"].shape == (128, 4 + 32)
+        assert params["A_log"].shape == (128, 16)
+        assert params["conv1d_weight"].shape == (4, 1, 128)
+        # A = -exp(A_log) negative and spanning 1..d_state
+        a = -np.exp(np.asarray(params["A_log"]))
+        assert a.max() <= -1.0 + 1e-6 and a.min() >= -16.0 - 1e-5
+
+
+class TestResize:
+    @pytest.mark.parametrize("scale", [2, 4, 8])
+    def test_matches_torch_bilinear(self, rng, scale):
+        import torch
+        import torch.nn.functional as TF
+        x = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
+        want = TF.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2),
+                              scale_factor=scale, mode="bilinear",
+                              align_corners=False)
+        want = want.permute(0, 2, 3, 1).numpy()
+        got = np.asarray(interpolate_bilinear(jnp.asarray(x), scale))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_identity_scale(self, rng):
+        x = jnp.asarray(rng.normal(size=(1, 4, 4, 2)).astype(np.float32))
+        assert interpolate_bilinear(x, 1) is x
+
+
+class TestPooling:
+    def test_adaptive_avg_pool_matches_torch(self, rng):
+        import torch
+        x = rng.normal(size=(2, 64, 64, 5)).astype(np.float32)
+        want = torch.nn.AdaptiveAvgPool2d((8, 8))(
+            torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+        got = np.asarray(adaptive_avg_pool(jnp.asarray(x), 8, 8))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_max_pool_matches_torch(self, rng):
+        import torch
+        import torch.nn.functional as TF
+        x = rng.normal(size=(2, 128, 128, 4)).astype(np.float32)
+        want = TF.max_pool2d(torch.from_numpy(x).permute(0, 3, 1, 2),
+                             kernel_size=3, stride=2, padding=1)
+        want = want.permute(0, 2, 3, 1).numpy()
+        got = np.asarray(max_pool_3x3s2(jnp.asarray(x)))
+        np.testing.assert_allclose(got, want)
+
+    def test_global(self, rng):
+        x = rng.normal(size=(3, 8, 8, 16)).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(global_avg_pool(jnp.asarray(x))),
+                                   x.mean(axis=(1, 2)), rtol=1e-6)
+
+    def test_indivisible_raises(self):
+        with pytest.raises(ValueError):
+            adaptive_avg_pool(jnp.zeros((1, 10, 10, 1)), 8, 8)
