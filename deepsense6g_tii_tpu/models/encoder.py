@@ -1,0 +1,205 @@
+"""Multi-scale multi-modal fusion encoder.
+
+One configurable module covering both reference encoders:
+
+* GPT-fusion ``Encoder`` (model2_seq.py:406-597) — fusion_type="gpt",
+  TFM=0 (token-sum head): the 0.6671 challenge winner.
+* ``EncoderWithMamba`` (mambafuser_seq.py:286-550) — fusion_type="mamba"
+  with channel swap, TimeMamba head, modality-missing injection and the
+  rebuild-feature hook.
+
+Skeleton (identical in both): per-modality ResNet stem+layer1, then four
+rounds of { adaptive-avgpool to 8x8 anchors; fuse with the GPS embedding
+chain; bilinear-upsample back; residual-add; next ResNet stage }, then global
+average pooling into per-frame 512-d tracks and a temporal head.
+
+Layout is NHWC throughout (TPU-native); batch and time are flattened into one
+leading dim for all convolutions so the MXU sees (B*T)-sized batches.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import GlobalConfig
+from ..data.features import normalize_imagenet
+from ..ops.pooling import adaptive_avg_pool, global_avg_pool
+from ..ops.resize import interpolate_bilinear
+from .fusion import TimeMamba, TokenFusion
+from .resnet import (RESNET18_BLOCKS, RESNET34_BLOCKS, STAGE_FEATURES,
+                     ResNetBackbone)
+
+STAGE_UPSAMPLE = (8, 4, 2, 1)
+
+
+def _flatten_bt(x: jnp.ndarray) -> jnp.ndarray:
+    b, t = x.shape[:2]
+    return x.reshape((b * t,) + x.shape[2:])
+
+
+def _unflatten_bt(x: jnp.ndarray, b: int) -> jnp.ndarray:
+    return x.reshape((b, x.shape[0] // b) + x.shape[1:])
+
+
+class FusionEncoder(nn.Module):
+    config: GlobalConfig
+
+    def setup(self):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.compute_dtype)
+        self.image_backbone = ResNetBackbone(RESNET34_BLOCKS, dtype=dtype,
+                                             name="image_encoder")
+        self.lidar_backbone = ResNetBackbone(RESNET18_BLOCKS, dtype=dtype,
+                                             name="lidar_encoder")
+        self.radar_backbone = ResNetBackbone(RESNET18_BLOCKS, dtype=dtype,
+                                             name="radar_encoder")
+
+        self.vel_embs = [
+            nn.Dense(STAGE_FEATURES[i], name=f"vel_emb{i + 1}")
+            for i in range(4)
+        ]
+        fusion_type = "mamba" if cfg.FFM else "gpt"
+        self.fusions = [
+            TokenFusion(
+                n_embd=STAGE_FEATURES[i],
+                n_layer=cfg.n_layer,
+                seq_len=cfg.seq_len,
+                n_views=cfg.n_views,
+                anchors=cfg.anchors,
+                gps_tokens=cfg.gps_len,
+                embd_pdrop=cfg.embd_pdrop,
+                fusion_type=fusion_type,
+                channel_swap=bool(cfg.FFM),
+                n_head=cfg.n_head,
+                block_exp=cfg.block_exp,
+                attn_pdrop=cfg.attn_pdrop,
+                resid_pdrop=cfg.resid_pdrop,
+                d_state=cfg.d_state,
+                d_conv=cfg.d_conv,
+                expand=cfg.expand,
+                use_pallas=cfg.use_pallas_scan,
+                dtype=dtype,
+                name=f"fusion{i + 1}")
+            for i in range(4)
+        ]
+        if cfg.TFM:
+            self.time_mamba = TimeMamba(
+                d_model=STAGE_FEATURES[3], seq_len=cfg.seq_len,
+                gps_tokens=cfg.gps_len, d_state=cfg.d_state,
+                d_conv=cfg.d_conv, expand=cfg.expand,
+                use_pallas=cfg.use_pallas_scan, dtype=dtype,
+                name="time_mamba")
+
+    # -- modality missing (mambafuser_seq.py:361-391) ------------------------
+
+    def _apply_missing(self, image, lidar, radar):
+        miss = self.config.modality_missing
+        if miss is None:
+            return image, lidar, radar
+        kind = self.config.modality_missing_type
+
+        def sub(x):
+            if kind == "zerolike":
+                return jnp.zeros_like(x)
+            if kind == "randlike":
+                return jax.random.uniform(self.make_rng("missing"), x.shape,
+                                          x.dtype)
+            raise ValueError(f"unknown modality_missing_type {kind!r}")
+
+        if miss == "image":
+            image = sub(image)
+        elif miss == "lidar":
+            lidar = sub(lidar)
+        elif miss == "radar":
+            radar = sub(radar)
+        elif miss in ("lidar_radar", "radar_lidar"):
+            lidar, radar = sub(lidar), sub(radar)
+        else:
+            raise ValueError(f"unknown modality_missing {miss!r}")
+        return image, lidar, radar
+
+    # -- rebuild-feature injection (mambafuser_seq.py:442-457) ---------------
+
+    def _inject_rebuild(self, feats, rebuild, train: bool):
+        miss = self.config.modality_missing
+        image_f, lidar_f, radar_f = feats
+        if rebuild is None or miss is None:
+            return feats
+        rebuild = rebuild.astype(image_f.dtype)
+        if miss == "image":
+            if train:
+                # 25% chance per step of training on the rebuilt features
+                use = jax.random.bernoulli(self.make_rng("rebuild"), 0.25)
+                image_f = jnp.where(use, rebuild, image_f)
+            else:
+                image_f = rebuild
+        elif miss == "lidar":
+            lidar_f = rebuild
+        elif miss == "radar":
+            radar_f = rebuild
+        return image_f, lidar_f, radar_f
+
+    # -- forward --------------------------------------------------------------
+
+    def __call__(self, image, lidar, radar, gps,
+                 rebuild_feats: Optional[jnp.ndarray] = None,
+                 train: bool = False,
+                 return_stage1: bool = False):
+        """image: (B, T, H, W, 3) in [0, 255]; lidar: (B, T, H, W, 1);
+        radar: (B, T, H, W, 1|2); gps: (B, gps_len, 2).
+
+        Returns (B, 512) fused features (or also the three stage-1 feature
+        maps when ``return_stage1`` — the rebuild subsystem taps them).
+        """
+        cfg = self.config
+        B, T = image.shape[:2]
+        dtype = jnp.dtype(cfg.compute_dtype)
+
+        image = normalize_imagenet(image.astype(jnp.float32))
+        image, lidar, radar = self._apply_missing(
+            image, lidar.astype(jnp.float32), radar.astype(jnp.float32))
+
+        image = _flatten_bt(image).astype(dtype)
+        lidar = _flatten_bt(lidar).astype(dtype)
+        radar = _flatten_bt(radar).astype(dtype)
+
+        backbones = (self.image_backbone, self.lidar_backbone,
+                     self.radar_backbone)
+        feats = [bb.stage1(bb.stem(x, train), train)
+                 for bb, x in zip(backbones, (image, lidar, radar))]
+
+        feats = self._inject_rebuild(feats, rebuild_feats, train)
+        stage1_feats = feats
+
+        gps_feats = gps.astype(jnp.float32)
+        for i in range(4):
+            anchors = [adaptive_avg_pool(f, cfg.vert_anchors, cfg.horz_anchors)
+                       for f in feats]
+            anchors = [_unflatten_bt(a, B) for a in anchors]
+            gps_emb = self.vel_embs[i](gps_feats).astype(dtype)
+            img_o, lid_o, rad_o, gps_feats = self.fusions[i](
+                *anchors, gps_emb, deterministic=not train)
+            gps_feats = gps_feats.astype(jnp.float32)
+            outs = [_flatten_bt(o) for o in (img_o, lid_o, rad_o)]
+            if STAGE_UPSAMPLE[i] > 1:
+                outs = [interpolate_bilinear(o, STAGE_UPSAMPLE[i]) for o in outs]
+            feats = [f + o.astype(f.dtype) for f, o in zip(feats, outs)]
+            if i < 3:
+                feats = [getattr(bb, f"stage{i + 2}")(f, train)
+                         for bb, f in zip(backbones, feats)]
+
+        tracks = [_unflatten_bt(global_avg_pool(f), B).astype(jnp.float32)
+                  for f in feats]                      # 3 x (B, T, 512)
+
+        if cfg.TFM:
+            fused = self.time_mamba(*tracks, gps_feats)
+        else:
+            fused = (sum(t.sum(axis=1) for t in tracks)
+                     + gps_feats.sum(axis=1))          # token-sum head
+        if return_stage1:
+            return fused, stage1_feats
+        return fused

@@ -1,0 +1,242 @@
+"""Cross-modal fusion blocks over the fused token sequence.
+
+The reference fuses 3 modalities x seq_len x 8x8 anchor tokens + 2 GPS tokens
+(= 962 tokens for the 5-frame task) at four scales, either with a GPT
+transformer stack (model2_seq.py:74-287) or with bi-directional Mamba blocks
+(mambafuser_seq.py:74-231), plus a temporal TimeMamba head
+(mambafuser_seq.py:233-284).
+
+Token layout (identical to the reference reshape chain,
+model2_seq.py:267-270): [(modality-major, time, 8x8 anchors row-major) x 3,
+gps x 2] — a static shape derived from config so one jitted graph serves both
+the 962- and 1922-token (30to5) variants.
+
+Note on MambaBlock parity: the reference combines the forward-order Mamba
+output with the *flipped-order* backward branch without un-flipping
+(mambafuser_seq.py:100-107) — x_fused = x_bm*relu(fc2(flip(x_fc1))) +
+x_fm*x_bm where x_bm is in reversed token order.  We reproduce exactly that.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.mamba import Mamba
+
+_DENSE_INIT = nn.initializers.normal(stddev=0.02)  # GPT _init_weights
+
+
+class SelfAttention(nn.Module):
+    """Unmasked multi-head self-attention (model2_seq.py:74-110)."""
+
+    n_embd: int
+    n_head: int
+    attn_pdrop: float
+    resid_pdrop: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        B, T, C = x.shape
+        hs = C // self.n_head
+        dense = lambda name: nn.Dense(C, kernel_init=_DENSE_INIT,
+                                      dtype=self.dtype, name=name)
+        q = dense("query")(x).reshape(B, T, self.n_head, hs).transpose(0, 2, 1, 3)
+        k = dense("key")(x).reshape(B, T, self.n_head, hs).transpose(0, 2, 1, 3)
+        v = dense("value")(x).reshape(B, T, self.n_head, hs).transpose(0, 2, 1, 3)
+        att = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (hs ** -0.5)
+        att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(x.dtype)
+        att = nn.Dropout(self.attn_pdrop)(att, deterministic=deterministic)
+        y = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+        y = y.transpose(0, 2, 1, 3).reshape(B, T, C)
+        y = dense("proj")(y)
+        return nn.Dropout(self.resid_pdrop)(y, deterministic=deterministic)
+
+
+class GPTBlock(nn.Module):
+    """Pre-LN attention + ReLU MLP block (model2_seq.py:113-134)."""
+
+    n_embd: int
+    n_head: int
+    block_exp: int
+    attn_pdrop: float
+    resid_pdrop: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = x + SelfAttention(self.n_embd, self.n_head, self.attn_pdrop,
+                              self.resid_pdrop, dtype=self.dtype,
+                              name="attn")(
+            nn.LayerNorm(name="ln1")(x), deterministic)
+        h = nn.LayerNorm(name="ln2")(x)
+        h = nn.Dense(self.block_exp * self.n_embd, kernel_init=_DENSE_INIT,
+                     dtype=self.dtype, name="mlp_fc")(h)
+        h = nn.relu(h)
+        h = nn.Dense(self.n_embd, kernel_init=_DENSE_INIT, dtype=self.dtype,
+                     name="mlp_proj")(h)
+        h = nn.Dropout(self.resid_pdrop)(h, deterministic=deterministic)
+        return x + h
+
+
+class MambaBlock(nn.Module):
+    """Bi-branch Mamba block (mambafuser_seq.py:74-109).
+
+    LayerNorm is over the full (n_tokens, C) trailing shape with a
+    per-(token, channel) affine — torch nn.LayerNorm(ln_size) parity.
+    """
+
+    n_embd: int
+    n_tokens: int
+    d_state: int = 16
+    d_conv: int = 4
+    expand: int = 2
+    use_pallas: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x_ln = nn.LayerNorm(reduction_axes=(-2, -1), feature_axes=(-2, -1),
+                            name="ln1")(x)
+        x_fc1 = nn.Dense(self.n_embd, kernel_init=_DENSE_INIT,
+                         dtype=self.dtype, name="fc1")(x_ln)
+        mamba = lambda name: Mamba(
+            d_model=self.n_embd, d_state=self.d_state, d_conv=self.d_conv,
+            expand=self.expand, use_pallas=self.use_pallas,
+            compute_dtype=self.dtype, name=name)
+        x_fm = mamba("forward_mamba")(x_fc1)
+        x_flip = jnp.flip(x_fc1, axis=1)
+        x_bm = mamba("backward_mamba")(x_flip)
+        x_fc2 = nn.Dense(self.n_embd, kernel_init=_DENSE_INIT,
+                         dtype=self.dtype, name="fc2")(x_flip)
+        x_relu = nn.leaky_relu(x_fc2, negative_slope=0.2)
+        # parity: x_bm / x_relu stay in flipped order (see module docstring)
+        return x_bm * x_relu + x_fm * x_bm
+
+
+class TokenFusion(nn.Module):
+    """Shared shell for GPT/Mamba fusion at one scale.
+
+    Tokenizes the three (B, T_frames, 8, 8, C) anchor maps + (B, 2, C) GPS,
+    adds a learnable positional embedding, runs ``n_layer`` fusion blocks,
+    and splits back (model2_seq.py:248-287; mambafuser_seq.py:183-231).
+
+    ``channel_swap`` rotates channel thirds between modalities before
+    tokenization — the "cs-bimamba" variant (mambafuser_seq.py:200-205).
+    """
+
+    n_embd: int
+    n_layer: int
+    seq_len: int
+    n_views: int
+    anchors: int            # vert*horz
+    gps_tokens: int
+    embd_pdrop: float
+    fusion_type: str = "mamba"       # "gpt" | "mamba"
+    channel_swap: bool = True
+    # gpt params
+    n_head: int = 4
+    block_exp: int = 4
+    attn_pdrop: float = 0.1
+    resid_pdrop: float = 0.1
+    # mamba params
+    d_state: int = 16
+    d_conv: int = 4
+    expand: int = 2
+    use_pallas: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def n_tokens(self) -> int:
+        return (self.n_views + 2) * self.seq_len * self.anchors + self.gps_tokens
+
+    @nn.compact
+    def __call__(self, image, lidar, radar, gps, deterministic: bool = True):
+        """image/lidar/radar: (B, T, vh, hz, C); gps: (B, gps_tokens, C)."""
+        B, T, vh, hz, C = image.shape
+
+        if self.channel_swap and self.fusion_type == "mamba":
+            s1, s2 = C // 3, C // 3 * 2
+            cs_image = jnp.concatenate(
+                [image[..., :s1], lidar[..., s1:s2], radar[..., s2:]], axis=-1)
+            cs_lidar = jnp.concatenate(
+                [lidar[..., :s1], radar[..., s1:s2], image[..., s2:]], axis=-1)
+            cs_radar = jnp.concatenate(
+                [radar[..., :s1], image[..., s1:s2], lidar[..., s2:]], axis=-1)
+            image, lidar, radar = cs_image, cs_lidar, cs_radar
+
+        tokens = jnp.concatenate([image, lidar, radar], axis=1)   # (B, 3T, vh, hz, C)
+        tokens = tokens.reshape(B, -1, C)
+        tokens = jnp.concatenate([tokens, gps.astype(tokens.dtype)], axis=1)
+
+        pos_emb = self.param("pos_emb", nn.initializers.zeros,
+                             (1, self.n_tokens, self.n_embd))
+        x = tokens + pos_emb.astype(tokens.dtype)
+        x = nn.Dropout(self.embd_pdrop)(x, deterministic=deterministic)
+
+        if self.fusion_type == "gpt":
+            for i in range(self.n_layer):
+                x = GPTBlock(self.n_embd, self.n_head, self.block_exp,
+                             self.attn_pdrop, self.resid_pdrop,
+                             dtype=self.dtype, name=f"block{i}")(
+                    x, deterministic)
+        elif self.fusion_type == "mamba":
+            for i in range(self.n_layer):
+                x = MambaBlock(self.n_embd, self.n_tokens, self.d_state,
+                               self.d_conv, self.expand,
+                               use_pallas=self.use_pallas, dtype=self.dtype,
+                               name=f"block{i}")(x)
+        else:
+            raise ValueError(f"unknown fusion_type {self.fusion_type!r}")
+
+        x = nn.LayerNorm(name="ln_f")(x)
+
+        n_map = (self.n_views + 2) * T * self.anchors
+        gps_out = x[:, n_map:, :]
+        maps = x[:, :n_map, :].reshape(B, (self.n_views + 2) * T, vh, hz, C)
+        img_out = maps[:, : self.n_views * T]
+        lidar_out = maps[:, self.n_views * T: (self.n_views + 1) * T]
+        radar_out = maps[:, (self.n_views + 1) * T:]
+        return img_out, lidar_out, radar_out, gps_out
+
+
+class TimeMamba(nn.Module):
+    """Temporal fusion head (mambafuser_seq.py:233-284).
+
+    One shared Mamba over each modality's (B, T, 512) track; per-modality
+    attention over time from (maxpool+avgpool over channels) -> MLP+softmax;
+    weighted-sum to one token each; concat + sum -> (B, 512).
+    """
+
+    d_model: int = 512
+    seq_len: int = 5
+    gps_tokens: int = 2
+    d_state: int = 16
+    d_conv: int = 4
+    expand: int = 2
+    use_pallas: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image, lidar, radar, gps):
+        mamba = Mamba(d_model=self.d_model, d_state=self.d_state,
+                      d_conv=self.d_conv, expand=self.expand,
+                      use_pallas=False,   # T=5: scan too small for a kernel
+                      compute_dtype=self.dtype, name="mamba")
+        mlp = nn.Dense(self.seq_len, name="mlp")
+        mlp_gps = nn.Dense(self.gps_tokens, name="mlp_gps")
+
+        def pool_attend(feats, dense):
+            att = feats.max(axis=-1) + feats.mean(axis=-1)       # (B, T)
+            att = jax.nn.softmax(dense(att), axis=-1)            # (B, T)
+            return (feats * att[..., None]).sum(axis=1)          # (B, C)
+
+        outs = []
+        for feats in (image, lidar, radar):
+            outs.append(pool_attend(mamba(feats), mlp))
+        outs.append(pool_attend(gps, mlp_gps))
+        return sum(outs)                                          # (B, C)

@@ -1,0 +1,115 @@
+"""ResNet backbones (NHWC, Flax) with stage-separable structure.
+
+Equivalent of the torchvision ResNet34 image encoder and 1/2-channel ResNet18
+LiDAR/radar encoders of the reference (mambafuser_seq.py:12-72).  The fusion
+encoders interleave ResNet stages with cross-modal fusion
+(mambafuser_seq.py:393-525), so the backbone exposes ``stem`` and
+``stage1..4`` as separately callable submodules instead of one monolithic
+forward.
+
+Convs run in the configured compute dtype (bfloat16 on the MXU by default);
+BatchNorm statistics stay float32.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.pooling import max_pool_3x3s2
+
+BN_MOMENTUM = 0.9   # torch momentum 0.1 == flax momentum 0.9
+BN_EPS = 1e-5
+
+
+class BasicBlock(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                    padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=self.dtype, name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=self.dtype, name="bn2")(y)
+        if self.stride != 1 or x.shape[-1] != self.features:
+            residual = nn.Conv(self.features, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(x)
+            residual = nn.BatchNorm(use_running_average=not train,
+                                    momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                                    dtype=self.dtype,
+                                    name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNetStem(nn.Module):
+    """conv7x7/2 + BN + relu + maxpool3x3/2: 256x256xC -> 64x64x64."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        return max_pool_3x3s2(x)
+
+
+class ResNetStage(nn.Module):
+    features: int
+    num_blocks: int
+    stride: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(self.num_blocks):
+            x = BasicBlock(self.features, self.stride if i == 0 else 1,
+                           dtype=self.dtype, name=f"block{i}")(x, train)
+        return x
+
+
+# torchvision block counts
+RESNET18_BLOCKS: Tuple[int, ...] = (2, 2, 2, 2)
+RESNET34_BLOCKS: Tuple[int, ...] = (3, 4, 6, 3)
+STAGE_FEATURES: Tuple[int, ...] = (64, 128, 256, 512)
+STAGE_STRIDES: Tuple[int, ...] = (1, 2, 2, 2)
+
+
+class ResNetBackbone(nn.Module):
+    """Stage-separable ResNet.  Call with stage='stem'|'1'|'2'|'3'|'4'."""
+
+    blocks: Sequence[int] = RESNET18_BLOCKS
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.stem = ResNetStem(dtype=self.dtype)
+        self.stage1 = ResNetStage(STAGE_FEATURES[0], self.blocks[0],
+                                  STAGE_STRIDES[0], dtype=self.dtype)
+        self.stage2 = ResNetStage(STAGE_FEATURES[1], self.blocks[1],
+                                  STAGE_STRIDES[1], dtype=self.dtype)
+        self.stage3 = ResNetStage(STAGE_FEATURES[2], self.blocks[2],
+                                  STAGE_STRIDES[2], dtype=self.dtype)
+        self.stage4 = ResNetStage(STAGE_FEATURES[3], self.blocks[3],
+                                  STAGE_STRIDES[3], dtype=self.dtype)
+
+    def __call__(self, x, train: bool = False):
+        """Full backbone pass (used for weight-port validation)."""
+        x = self.stem(x, train)
+        for stage in (self.stage1, self.stage2, self.stage3, self.stage4):
+            x = stage(x, train)
+        return x

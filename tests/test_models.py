@@ -1,0 +1,236 @@
+"""Model-zoo tests: ResNet torch parity, fusion blocks, encoder/fuser
+shapes and the exact reference parameter count (SURVEY.md section 2a #17-25)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepsense6g_tii_tpu.config import GlobalConfig
+from deepsense6g_tii_tpu.models.fuser import BeamFuser
+from deepsense6g_tii_tpu.models.fusion import MambaBlock, TimeMamba, TokenFusion
+from deepsense6g_tii_tpu.models.resnet import (RESNET18_BLOCKS, ResNetBackbone)
+from deepsense6g_tii_tpu.models.torch_port import (convert_resnet_state_dict,
+                                                   graft_backbone)
+
+
+def _build_torch_resnet18(in_ch=3):
+    """Minimal torchvision-compatible ResNet18 (BasicBlock) in raw torch,
+    used as the numeric oracle for the Flax backbone."""
+    import torch
+    import torch.nn as tnn
+
+    class Block(tnn.Module):
+        def __init__(self, cin, cout, stride):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(cout)
+            self.conv2 = tnn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(cout)
+            self.downsample = None
+            if stride != 1 or cin != cout:
+                self.downsample = tnn.Sequential(
+                    tnn.Conv2d(cin, cout, 1, stride, bias=False),
+                    tnn.BatchNorm2d(cout))
+
+        def forward(self, x):
+            idn = x if self.downsample is None else self.downsample(x)
+            y = torch.relu(self.bn1(self.conv1(x)))
+            y = self.bn2(self.conv2(y))
+            return torch.relu(y + idn)
+
+    class Net(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(in_ch, 64, 7, 2, 3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.maxpool = tnn.MaxPool2d(3, 2, 1)
+            cfg = [(64, 64, 1), (64, 128, 2), (128, 256, 2), (256, 512, 2)]
+            for i, (cin, cout, s) in enumerate(cfg, start=1):
+                setattr(self, f"layer{i}", tnn.Sequential(
+                    Block(cin, cout, s), Block(cout, cout, 1)))
+
+        def forward(self, x):
+            x = self.maxpool(torch.relu(self.bn1(self.conv1(x))))
+            for i in range(1, 5):
+                x = getattr(self, f"layer{i}")(x)
+            return x
+
+    return Net()
+
+
+class TestResNetTorchParity:
+    def test_resnet18_forward_matches_torch(self, rng):
+        import torch
+        net = _build_torch_resnet18()
+        net.eval()
+        # randomize BN stats so the test is not trivially mean-0/var-1
+        with torch.no_grad():
+            for m in net.modules():
+                if isinstance(m, torch.nn.BatchNorm2d):
+                    m.running_mean.uniform_(-0.5, 0.5)
+                    m.running_var.uniform_(0.5, 1.5)
+        x = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            want = net(torch.from_numpy(x).permute(0, 3, 1, 2))
+        want = want.permute(0, 2, 3, 1).numpy()
+
+        flax_model = ResNetBackbone(RESNET18_BLOCKS)
+        params, stats = convert_resnet_state_dict(net.state_dict())
+        out = flax_model.apply(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(x), train=False)
+        np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-4)
+
+    def test_port_skips_conv1_when_asked(self):
+        import torch
+        net = _build_torch_resnet18()
+        params, _ = convert_resnet_state_dict(net.state_dict(),
+                                              port_conv1=False)
+        assert "conv1" not in params["stem"]
+        assert "bn1" in params["stem"]
+
+
+SMALL = GlobalConfig(seq_len=2, n_layer=1, use_pallas_scan=False,
+                     compute_dtype="float32")
+
+
+def _inputs(B=1, T=2, radar_ch=2):
+    return (jnp.zeros((B, T, 256, 256, 3)), jnp.zeros((B, T, 256, 256, 1)),
+            jnp.zeros((B, T, 256, 256, radar_ch)), jnp.zeros((B, 2, 2)))
+
+
+class TestFusionBlocks:
+    def test_token_fusion_roundtrip_shapes(self, rng):
+        tf = TokenFusion(n_embd=64, n_layer=1, seq_len=2, n_views=1,
+                         anchors=64, gps_tokens=2, embd_pdrop=0.1,
+                         fusion_type="mamba", use_pallas=False)
+        maps = jnp.asarray(rng.normal(size=(2, 2, 8, 8, 64)).astype(np.float32))
+        gps = jnp.asarray(rng.normal(size=(2, 2, 64)).astype(np.float32))
+        v = tf.init(jax.random.PRNGKey(0), maps, maps, maps, gps)
+        io, lo, ro, go = tf.apply(v, maps, maps, maps, gps)
+        assert io.shape == lo.shape == ro.shape == (2, 2, 8, 8, 64)
+        assert go.shape == (2, 2, 64)
+        assert v["params"]["pos_emb"].shape == (1, 3 * 2 * 64 + 2, 64)
+
+    def test_gpt_fusion(self, rng):
+        tf = TokenFusion(n_embd=64, n_layer=2, seq_len=2, n_views=1,
+                         anchors=64, gps_tokens=2, embd_pdrop=0.1,
+                         fusion_type="gpt", n_head=4)
+        maps = jnp.asarray(rng.normal(size=(1, 2, 8, 8, 64)).astype(np.float32))
+        gps = jnp.zeros((1, 2, 64))
+        v = tf.init(jax.random.PRNGKey(0), maps, maps, maps, gps)
+        io, *_ = tf.apply(v, maps, maps, maps, gps)
+        assert io.shape == (1, 2, 8, 8, 64)
+        assert "attn" in v["params"]["block0"]
+
+    def test_channel_swap_changes_output(self, rng):
+        common = dict(n_embd=66, n_layer=1, seq_len=1, n_views=1, anchors=64,
+                      gps_tokens=2, embd_pdrop=0.0, fusion_type="mamba",
+                      use_pallas=False)
+        a = TokenFusion(channel_swap=True, **common)
+        b = TokenFusion(channel_swap=False, **common)
+        img = jnp.asarray(rng.normal(size=(1, 1, 8, 8, 66)).astype(np.float32))
+        lid = jnp.asarray(rng.normal(size=(1, 1, 8, 8, 66)).astype(np.float32))
+        rad = jnp.asarray(rng.normal(size=(1, 1, 8, 8, 66)).astype(np.float32))
+        gps = jnp.zeros((1, 2, 66))
+        v = a.init(jax.random.PRNGKey(0), img, lid, rad, gps)
+        ya = a.apply(v, img, lid, rad, gps)[0]
+        yb = b.apply(v, img, lid, rad, gps)[0]
+        assert float(jnp.abs(ya - yb).max()) > 1e-6
+
+    def test_time_mamba(self, rng):
+        tm = TimeMamba(d_model=32, seq_len=5, use_pallas=False)
+        f = jnp.asarray(rng.normal(size=(2, 5, 32)).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(2, 2, 32)).astype(np.float32))
+        v = tm.init(jax.random.PRNGKey(0), f, f, f, g)
+        out = tm.apply(v, f, f, f, g)
+        assert out.shape == (2, 32)
+
+
+class TestBeamFuser:
+    def test_param_count_matches_reference(self):
+        """MambaFuser I+L+R+G = 103,461,924 params (README_mine.md Table I)."""
+        cfg = GlobalConfig(use_pallas_scan=False, compute_dtype="float32")
+        model = BeamFuser(cfg)
+        shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), *_inputs(T=5))
+        n = sum(int(np.prod(p.shape))
+                for p in jax.tree_util.tree_leaves(shapes["params"]))
+        assert n == 103_461_924
+
+    def test_forward_small(self, rng):
+        model = BeamFuser(SMALL)
+        inp = _inputs()
+        v = model.init(jax.random.PRNGKey(0), *inp)
+        logits = model.apply(v, *inp, train=False)
+        assert logits.shape == (1, 64)
+        assert np.isfinite(np.asarray(logits)).all()
+
+    def test_gpt_notfm_variant(self):
+        cfg = SMALL.replace(FFM=0, TFM=0)
+        model = BeamFuser(cfg)
+        inp = _inputs()
+        shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), *inp)
+        assert "time_mamba" not in shapes["params"]["encoder"]
+        assert "attn" in str(jax.tree_util.tree_structure(shapes["params"]))
+
+    def test_radar_single_channel(self):
+        model = BeamFuser(SMALL.replace(add_velocity=0))
+        inp = _inputs(radar_ch=1)
+        v = model.init(jax.random.PRNGKey(0), *inp)
+        assert model.apply(v, *inp).shape == (1, 64)
+
+    def test_multistep_decoder(self):
+        cfg = SMALL.replace(pred_len=3)
+        model = BeamFuser(cfg)
+        inp = _inputs()
+        v = model.init(jax.random.PRNGKey(0), *inp)
+        out = model.apply(v, *inp)
+        assert out.shape == (1, 3, 64)
+
+    def test_modality_missing_zerolike(self, rng):
+        """Zeroing the image must change logits vs intact input."""
+        base = BeamFuser(SMALL)
+        miss = BeamFuser(SMALL.replace(modality_missing="image"))
+        img = jnp.asarray(rng.uniform(0, 255, (1, 2, 256, 256, 3)).astype(np.float32))
+        rest = _inputs()[1:]
+        v = base.init(jax.random.PRNGKey(0), img, *rest)
+        a = base.apply(v, img, *rest)
+        b = miss.apply(v, img, *rest)
+        assert float(jnp.abs(a - b).max()) > 1e-6
+
+    def test_modality_missing_randlike_needs_rng(self):
+        model = BeamFuser(SMALL.replace(modality_missing="radar",
+                                        modality_missing_type="randlike"))
+        inp = _inputs()
+        v = model.init({"params": jax.random.PRNGKey(0),
+                        "missing": jax.random.PRNGKey(1)}, *inp)
+        out = model.apply(v, *inp, rngs={"missing": jax.random.PRNGKey(2)})
+        assert out.shape == (1, 64)
+
+    def test_stage1_feature_tap(self):
+        model = BeamFuser(SMALL)
+        inp = _inputs()
+        v = model.init(jax.random.PRNGKey(0), *inp)
+        fused, feats = model.apply(v, *inp, method=model.encode_stage1)
+        assert fused.shape == (1, 512)
+        assert len(feats) == 3
+        assert feats[0].shape == (2, 64, 64, 64)   # (B*T, H/4, W/4, 64)
+
+
+class TestGraft:
+    def test_graft_backbone(self):
+        import torch
+        model = BeamFuser(SMALL)
+        inp = _inputs()
+        v = model.init(jax.random.PRNGKey(0), *inp)
+        net = _build_torch_resnet18()
+        p, s = convert_resnet_state_dict(net.state_dict(), port_conv1=False)
+        v2 = graft_backbone(v, "lidar_encoder", p, s)
+        k_new = v2["params"]["encoder"]["lidar_encoder"]["stage1"]["block0"]["conv1"]["kernel"]
+        want = net.state_dict()["layer1.0.conv1.weight"].numpy().transpose(2, 3, 1, 0)
+        np.testing.assert_allclose(np.asarray(k_new), want)
+        # conv1 untouched
+        np.testing.assert_allclose(
+            np.asarray(v2["params"]["encoder"]["lidar_encoder"]["stem"]["conv1"]["kernel"]),
+            np.asarray(v["params"]["encoder"]["lidar_encoder"]["stem"]["conv1"]["kernel"]))
