@@ -1,0 +1,50 @@
+"""Device mesh + sharding helpers.
+
+The reference's only parallelism is single-process data parallelism via
+``torch.nn.DataParallel`` (train2_seq.py:538) — per-step replicate/scatter/
+gather.  The TPU-native equivalent: a 1-D ``('data',)`` mesh over ICI, the
+batch sharded with NamedSharding, parameters replicated, and the gradient
+all-reduce emitted by XLA inside the single jitted train step.  The same
+code spans hosts over DCN after ``jax.distributed.initialize`` (multi-host
+processes each contribute their local devices to the same mesh).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_name: str = "data") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Leading (batch) dim sharded across the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """Host arrays -> device arrays with the leading dim sharded."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return (m - n % m) % m

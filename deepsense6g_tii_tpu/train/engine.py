@@ -1,0 +1,323 @@
+"""The training engine: epoch driver, validation, test, checkpoint policy.
+
+Functional equivalent of the reference ``Engine`` (train2_seq.py:71-289):
+per-epoch train/validate loops with top-k + per-scenario DBA metrics,
+best-model checkpointing keyed on validation DBA, optional
+rollback-to-previous-best, finetune stream keyed on *train* DBA, EMA
+validation weights, beam_pred.csv / confidence CSV export on test.
+
+The device side is one jitted train step (steps.py) over a ('data',) mesh;
+the engine only moves batches, accumulates rankings and writes artifacts.
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import os
+from typing import Dict, Iterable, List, Optional
+
+import jax
+import numpy as np
+
+from ..config import SCENARIOS, GlobalConfig
+from ..parallel.mesh import (make_mesh, pad_to_multiple, replicate,
+                             shard_batch)
+from . import checkpoints as ckpt
+from .metrics import compute_acc, compute_dba_score, flatten_multistep
+from .scheduler import cyclic_cosine_decay_lr
+from .state import TrainState, create_train_state, make_optimizer
+from .steps import make_eval_step, make_train_step
+
+DEVICE_KEYS = ("image", "lidar", "radar", "gps", "beam", "beamidx",
+               "rebuild_feats")
+
+
+@dataclasses.dataclass
+class TrainOptions:
+    """The reference CLI surface that concerns the engine
+    (train2_seq.py:30-60)."""
+
+    logdir: str = "log/run"
+    epochs: int = 50
+    lr: float = 1e-4
+    loss: str = "focal"              # 'focal' | 'ce'
+    scheduler: bool = True
+    ema: bool = False
+    temp_coef: bool = True
+    load_previous_best: bool = False
+    finetune: bool = False
+    clip_grad_norm: Optional[float] = None
+    seed: int = 100
+
+
+class Engine:
+    def __init__(self, model, cfg: GlobalConfig, opts: TrainOptions,
+                 mesh=None, init_batch=None):
+        self.model = model
+        self.cfg = cfg
+        self.opts = opts
+        self.mesh = mesh or make_mesh()
+        self.logger = ckpt.ScalarLogger(opts.logdir)
+
+        self.cur_epoch = 0
+        self.cur_iter = 0
+        self.bestval = 0.0
+        self.bestval_epoch = 0
+        self.train_loss: List[float] = []
+        self.val_loss: List[float] = []
+        self.DBA: List[float] = []
+        self.DBAft: List[float] = [0.0]      # finetune stream
+
+        self.tx = make_optimizer()
+        self.train_step = make_train_step(
+            model, cfg, self.tx, loss_name=opts.loss,
+            temp_coef=opts.temp_coef, use_ema=opts.ema,
+            clip_grad_norm=opts.clip_grad_norm, rng_seed=opts.seed)
+        self.eval_step = make_eval_step(
+            model, cfg, loss_name=opts.loss, temp_coef=opts.temp_coef,
+            use_ema=opts.ema)
+
+        self.state: Optional[TrainState] = None
+        if init_batch is not None:
+            self.init_state(init_batch)
+
+    # -- state ---------------------------------------------------------------
+
+    def init_state(self, batch: Dict) -> TrainState:
+        rngs = {"params": jax.random.PRNGKey(self.opts.seed)}
+        if self.cfg.modality_missing_type == "randlike" and \
+                self.cfg.modality_missing is not None:
+            rngs["missing"] = jax.random.PRNGKey(self.opts.seed + 1)
+        variables = self.model.init(
+            rngs, batch["image"][:1], batch["lidar"][:1],
+            batch["radar"][:1], batch["gps"][:1])
+        state = create_train_state(variables, self.tx)
+        self.state = replicate(state, self.mesh)
+        return self.state
+
+    def _lr(self) -> float:
+        if not self.opts.scheduler:
+            return self.opts.lr
+        return cyclic_cosine_decay_lr(
+            self.cur_epoch, base_lr=self.opts.lr, init_decay_epochs=15,
+            min_decay_lr=2.5e-6, restart_interval=10, restart_lr=12.5e-5,
+            warmup_epochs=10, warmup_start_lr=2.5e-6)
+
+    def _to_device(self, batch: Dict):
+        """Shards the numeric fields over the mesh, padding ragged batches up
+        to a multiple of the device count (padded rows are sliced off the
+        returned metrics).  Returns (device_batch, n_valid)."""
+        dev = {k: v for k, v in batch.items() if k in DEVICE_KEYS}
+        n = next(iter(dev.values())).shape[0]
+        n_dev = self.mesh.devices.size
+        pad = pad_to_multiple(n, n_dev)
+        if pad:
+            dev = {k: np.concatenate(
+                [np.asarray(v)] + [np.asarray(v[-1:])] * pad, axis=0)
+                for k, v in dev.items()}
+        return shard_batch(dev, self.mesh), n
+
+    # -- epoch loops ---------------------------------------------------------
+
+    def train(self, loader: Iterable[Dict]) -> float:
+        """One training epoch; returns the epoch's train DBA
+        (train2_seq.py:94-156)."""
+        lr = self._lr()
+        loss_epoch, num_batches = 0.0, 0
+        gt_all, pred_all = [], []
+        for batch in loader:
+            if self.state is None:
+                self.init_state(batch)
+            dev, n = self._to_device(batch)
+            self.state, m = self.train_step(self.state, dev, lr)
+            loss_epoch += float(m["loss"])
+            pred_all.append(np.asarray(m["ranks"])[:n])
+            gt_all.append(np.asarray(batch["beamidx"]))
+            num_batches += 1
+            self.cur_iter += 1
+
+        pred_all = np.concatenate(pred_all, 0)
+        gt_all = np.concatenate(gt_all, 0)
+        if pred_all.ndim == 3:
+            pred_all, gt_all = flatten_multistep(pred_all, gt_all)
+        acc = compute_acc(pred_all, gt_all)
+        dba = compute_dba_score(pred_all, gt_all)
+        loss_epoch /= max(num_batches, 1)
+        self.train_loss.append(loss_epoch)
+        self.cur_epoch += 1
+        self.logger.scalar("DBA_score_train", dba, self.cur_epoch)
+        self.logger.scalars(
+            "curr_acc_train",
+            {f"beam{i}": a for i, a in enumerate(acc)}, self.cur_epoch)
+        self.logger.scalar("curr_loss_train", loss_epoch, self.cur_epoch)
+        print(f"Train top beam acc: {acc} DBA score: {dba:.4f}")
+
+        if self.opts.finetune and dba > self.DBAft[-1]:
+            self.DBAft.append(dba)
+            self._save_finetune()
+        return dba
+
+    def validate(self, loader: Iterable[Dict]) -> float:
+        """Validation epoch with per-scenario DBA (train2_seq.py:158-221)."""
+        loss_epoch, num_batches = 0.0, 0
+        gt_all, pred_all, scen_all = [], [], []
+        for batch in loader:
+            if self.state is None:
+                self.init_state(batch)
+            dev, n = self._to_device(batch)
+            m = self.eval_step(self.state, dev)
+            loss_epoch += float(m["loss"])
+            pred_all.append(np.asarray(m["ranks"])[:n])
+            gt_all.append(np.asarray(batch["beamidx"]))
+            scen_all.append(np.asarray(batch["scenario"]))
+            num_batches += 1
+
+        pred_all = np.concatenate(pred_all, 0)
+        gt_all = np.concatenate(gt_all, 0)
+        scen_all = np.concatenate(scen_all, 0)
+        if pred_all.ndim == 3:
+            mp, mg = flatten_multistep(pred_all, gt_all)
+        else:
+            mp, mg = pred_all, gt_all
+
+        for s in SCENARIOS:
+            mask = scen_all == s
+            if mask.sum() > 0:
+                ps, gs = pred_all[mask], gt_all[mask]
+                if ps.ndim == 3:
+                    ps, gs = flatten_multistep(ps, gs)
+                acc_s = compute_acc(ps, gs)
+                dba_s = compute_dba_score(ps, gs)
+                print(f"{s} curr_acc: {acc_s} DBA_score: {dba_s:.4f}")
+                self.logger.scalars(
+                    "curr_acc_val",
+                    {f"{s}beam{i}": a for i, a in enumerate(acc_s)},
+                    self.cur_epoch)
+                self.logger.scalar(f"DBA_score_val/{s}", dba_s, self.cur_epoch)
+
+        acc = compute_acc(mp, mg)
+        dba = compute_dba_score(mp, mg)
+        loss_epoch /= max(num_batches, 1)
+        print(f"Val top beam acc: {acc} DBA score: {dba:.4f}")
+        self.logger.scalar("DBA_score_val/scenario_all", dba, self.cur_epoch)
+        self.logger.scalar("curr_loss_val", loss_epoch, self.cur_epoch)
+        self.val_loss.append(loss_epoch)
+        self.DBA.append(dba)
+        return dba
+
+    def test(self, loader: Iterable[Dict], out_dir: str = ".") -> np.ndarray:
+        """Test pass: writes beam_pred.csv (1-indexed top-1/2/3) and the
+        softmax-confidence CSV (train2_seq.py:224-252,338-346)."""
+        pred_all, conf_all = [], []
+        for batch in loader:
+            if self.state is None:
+                self.init_state(batch)
+            dev, n = self._to_device(batch)
+            m = self.eval_step(self.state, dev)
+            pred_all.append(np.asarray(m["ranks"])[:n])
+            conf_all.append(np.asarray(m["confidence"])[:n])
+        pred_all = np.concatenate(pred_all, 0)
+        conf_all = np.concatenate(conf_all, 0)
+        save_pred_to_csv(pred_all,
+                         target_csv=os.path.join(out_dir, "beam_pred.csv"))
+        save_confidence_to_csv(
+            conf_all,
+            target_csv=os.path.join(out_dir, "beam_pred_confidence_seq.csv"))
+        return pred_all
+
+    # -- checkpoint policy ---------------------------------------------------
+
+    def save(self) -> None:
+        """Per-epoch checkpointing with best-model/rollback policy
+        (train2_seq.py:254-289)."""
+        save_best = False
+        if self.DBA and self.DBA[-1] >= self.bestval:
+            self.bestval = self.DBA[-1]
+            self.bestval_epoch = self.cur_epoch
+            save_best = True
+
+        state = self.state
+        ckpt.save_model(self.opts.logdir, "final_model",
+                        state.params, state.batch_stats)
+        ckpt.write_run_record(self.opts.logdir, {
+            "epoch": self.cur_epoch,
+            "iter": self.cur_iter,
+            "bestval": self.bestval,
+            "bestval_epoch": self.bestval_epoch,
+            "train_loss": self.train_loss,
+            "val_loss": self.val_loss,
+            "DBA": self.DBA,
+        })
+        if save_best:
+            ckpt.save_model(self.opts.logdir, "best_model",
+                            state.params, state.batch_stats)
+            ckpt.save_optim(self.opts.logdir, "best_optim",
+                            state.opt_state, state.ema_params)
+            print("====== Overwrote best model ======>")
+        elif self.opts.load_previous_best:
+            params, stats = ckpt.load_model(
+                self.opts.logdir, "best_model", state.params, state.batch_stats)
+            opt_state, ema = ckpt.load_optim(
+                self.opts.logdir, "best_optim", state.opt_state,
+                state.ema_params)
+            self.state = replicate(
+                state.replace(params=params, batch_stats=stats,
+                              opt_state=opt_state, ema_params=ema), self.mesh)
+            print("====== Load the previous best model ======>")
+
+    def _save_finetune(self) -> None:
+        """all_finetune_on_final_* stream keyed on train DBA
+        (train2_seq.py:149-156)."""
+        ckpt.save_model(self.opts.logdir, "all_finetune_on_final_model",
+                        self.state.params, self.state.batch_stats)
+        ckpt.save_optim(self.opts.logdir, "all_finetune_on_final_optim",
+                        self.state.opt_state, self.state.ema_params)
+
+    def resume(self) -> bool:
+        """Restart-from-logdir (train2_seq.py:558-583).  Returns True if a
+        run record was found."""
+        rec = ckpt.read_run_record(self.opts.logdir)
+        if rec is None:
+            return False
+        self.cur_epoch = rec["epoch"]
+        self.cur_iter = rec.get("iter", 0)
+        self.bestval = rec["bestval"]
+        self.bestval_epoch = rec.get("bestval_epoch", 0)
+        self.train_loss = rec["train_loss"]
+        self.val_loss = rec["val_loss"]
+        self.DBA = rec["DBA"]
+        return True
+
+    def load_weights(self, name: str = "final_model",
+                     logdir: Optional[str] = None) -> None:
+        if self.state is None:
+            raise RuntimeError("init_state first (needs shapes)")
+        params, stats = ckpt.load_model(
+            logdir or self.opts.logdir, name, self.state.params,
+            self.state.batch_stats)
+        self.state = self.state.replace(
+            params=params, batch_stats=stats,
+            ema_params=jax.tree_util.tree_map(lambda x: x, params))
+
+
+def save_pred_to_csv(y_pred: np.ndarray, top_k=(1, 2, 3),
+                     target_csv: str = "beam_pred.csv") -> None:
+    """1-indexed top-k beam CSV, reference format (train2_seq.py:338-346)."""
+    if y_pred.ndim == 3:            # multi-step: flatten rows
+        y_pred = y_pred.reshape(-1, y_pred.shape[-1])
+    with open(target_csv, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["index"] + [f"top-{k} beam" for k in top_k])
+        for i, row in enumerate(y_pred):
+            w.writerow([i] + [int(row[k - 1]) + 1 for k in top_k])
+
+
+def save_confidence_to_csv(conf: np.ndarray,
+                           target_csv: str = "beam_pred_confidence_seq.csv"
+                           ) -> None:
+    with open(target_csv, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["", "0"])
+        for i, v in enumerate(conf.reshape(-1)):
+            w.writerow([i, float(v)])

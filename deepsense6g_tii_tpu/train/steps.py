@@ -1,0 +1,131 @@
+"""Jitted train / eval / test steps.
+
+One compiled XLA program per step covering forward, focal loss on soft
+targets, backward, AdamW update, EMA shadow update and the cross-replica
+gradient all-reduce (replacing the reference's eager loop + DataParallel
+scatter/gather, train2_seq.py:94-156).  The batch arrives sharded over the
+('data',) mesh axis; parameters are replicated; XLA/GSPMD inserts the
+collectives.  BatchNorm statistics are computed over the global batch (the
+batch mean/var reductions cross shards automatically).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import GlobalConfig
+from .losses import cross_entropy_loss, focal_loss
+from .state import TrainState, set_learning_rate
+
+
+def _model_inputs(batch: Dict[str, jnp.ndarray]):
+    return (batch["image"], batch["lidar"], batch["radar"], batch["gps"])
+
+
+def _compute_loss(cfg: GlobalConfig, loss_name: str, temp_coef: bool,
+                  logits, batch):
+    """Loss dispatch mirroring train2_seq.py:89-92,121-124.
+
+    pred_len > 1: logits (B, P, C) and targets (B, P[, C]) are flattened so
+    the per-class loss matches the 30to5 trainer (train2_seq_30to5.py:107-120).
+    """
+    target = batch["beam"] if temp_coef else batch["beamidx"]
+    if logits.ndim == 3:
+        logits = logits.reshape(-1, logits.shape[-1])
+        target = target.reshape((-1, target.shape[-1])
+                                if temp_coef else (-1,))
+    if loss_name == "focal":
+        return focal_loss(logits, target, num_classes=cfg.num_beams)
+    return cross_entropy_loss(logits, target)
+
+
+def make_train_step(model, cfg: GlobalConfig, tx,
+                    loss_name: str = "focal",
+                    temp_coef: bool = True,
+                    use_ema: bool = False,
+                    ema_decay: float = 0.999,
+                    clip_grad_norm: Optional[float] = None,
+                    rng_seed: int = 100):
+    """Returns jitted (state, batch, lr) -> (state, metrics)."""
+
+    base_rng = jax.random.PRNGKey(rng_seed)
+
+    def loss_fn(params, batch_stats, batch, rngs):
+        variables = {"params": params, "batch_stats": batch_stats}
+        (logits, aux) = model.apply(
+            variables, *_model_inputs(batch),
+            rebuild_feats=batch.get("rebuild_feats"),
+            train=True, rngs=rngs, mutable=["batch_stats"])
+        loss = _compute_loss(cfg, loss_name, temp_coef, logits, batch)
+        return loss, (logits, aux["batch_stats"])
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, lr):
+        rngs = {"dropout": jax.random.fold_in(base_rng, state.step)}
+        if cfg.modality_missing is not None \
+                and cfg.modality_missing_type == "randlike":
+            rngs["missing"] = jax.random.fold_in(base_rng, state.step + 1)
+        if "rebuild_feats" in batch:
+            rngs["rebuild"] = jax.random.fold_in(base_rng, state.step + 2)
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch, rngs)
+        if clip_grad_norm is not None:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, clip_grad_norm / (gnorm + 1e-6))
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+
+        opt_state = set_learning_rate(state.opt_state, lr)
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        if use_ema:
+            ema = jax.tree_util.tree_map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                state.ema_params, params)
+        else:
+            ema = params
+
+        new_state = state.replace(
+            params=params, batch_stats=new_stats, opt_state=opt_state,
+            ema_params=ema, step=state.step + 1)
+        ranks = jnp.argsort(logits, axis=-1, descending=True)
+        return new_state, {"loss": loss, "ranks": ranks}
+
+    return train_step
+
+
+def make_eval_step(model, cfg: GlobalConfig,
+                   loss_name: str = "focal",
+                   temp_coef: bool = True,
+                   use_ema: bool = False):
+    """Returns jitted (state, batch) -> metrics (loss, ranks, confidence).
+
+    With ``use_ema`` the EMA shadow weights are applied for the forward,
+    mirroring ema.apply_shadow()/restore() around validation
+    (train2_seq.py:159-160,220-221) — functionally, just a different leaf of
+    the state, no copying.
+    """
+
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        params = state.ema_params if use_ema else state.params
+        variables = {"params": params, "batch_stats": state.batch_stats}
+        logits = model.apply(variables, *_model_inputs(batch),
+                             rebuild_feats=batch.get("rebuild_feats"),
+                             train=False)
+        out = {
+            "ranks": jnp.argsort(logits, axis=-1, descending=True),
+            "confidence": jax.nn.softmax(
+                logits.astype(jnp.float32), axis=-1).max(axis=-1),
+        }
+        if "beam" in batch:
+            out["loss"] = _compute_loss(cfg, loss_name, temp_coef, logits, batch)
+        return out
+
+    return eval_step

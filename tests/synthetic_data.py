@@ -1,0 +1,138 @@
+"""Synthetic data + tiny stand-in model for fast engine/pipeline tests.
+
+The real DeepSense6G dataset is not available in CI; these helpers generate
+(a) in-memory batches with the exact batch contract of the data pipeline and
+(b) an on-disk fake dataset tree matching the reference layout
+(camera jpgs, LiDAR .ply, radar .npy, GPS .txt, index CSVs) so the dataset /
+preprocessing code paths run end-to-end.
+"""
+
+import os
+
+import numpy as np
+import flax.linen as nn
+import jax.numpy as jnp
+
+from deepsense6g_tii_tpu.config import GlobalConfig
+from deepsense6g_tii_tpu.data.features import soft_beam_target_np
+
+
+def make_batch(rng, B=2, T=2, H=256, W=256, radar_ch=2, num_beams=64,
+               pred_len=1):
+    idx = rng.integers(0, num_beams, size=(B,) if pred_len == 1 else (B, pred_len))
+    if pred_len == 1:
+        beam = np.stack([soft_beam_target_np(i) for i in idx]).astype(np.float32)
+    else:
+        beam = np.stack([[soft_beam_target_np(i) for i in row] for row in idx]
+                        ).astype(np.float32)
+    return {
+        "image": rng.uniform(0, 255, (B, T, H, W, 3)).astype(np.float32),
+        "lidar": rng.uniform(0, 1, (B, T, H, W, 1)).astype(np.float32),
+        "radar": rng.uniform(0, 1, (B, T, H, W, radar_ch)).astype(np.float32),
+        "gps": rng.normal(size=(B, 2, 2)).astype(np.float32),
+        "beam": beam,
+        "beamidx": idx.astype(np.int32),
+        "scenario": np.asarray(
+            [f"scenario{31 + i % 4}" for i in range(B)]),
+    }
+
+
+class TinyFuser(nn.Module):
+    """Same call signature as BeamFuser, two conv layers deep — engine tests
+    exercise every step/checkpoint/metric path in seconds instead of minutes.
+    """
+
+    config: GlobalConfig
+
+    @nn.compact
+    def __call__(self, image, lidar, radar, gps, rebuild_feats=None,
+                 train: bool = False):
+        del rebuild_feats
+        B = image.shape[0]
+
+        def enc(x, name):
+            x = x.reshape((-1,) + x.shape[2:])
+            x = nn.Conv(8, (7, 7), strides=(8, 8), name=name + "_c1")(x)
+            x = nn.relu(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             name=name + "_bn")(x)
+            x = nn.Conv(16, (3, 3), strides=(8, 8), name=name + "_c2")(x)
+            return x.mean(axis=(1, 2)).reshape(B, -1)
+
+        z = jnp.concatenate([
+            enc(image / 255.0, "img"), enc(lidar, "lid"), enc(radar, "rad"),
+            gps.reshape(B, -1)], axis=-1)
+        z = nn.Dense(64, name="h")(z)
+        z = nn.relu(z)
+        z = nn.Dropout(0.1)(z, deterministic=not train)
+        logits = nn.Dense(self.config.num_beams, name="out")(z)
+        if self.config.pred_len > 1:
+            logits = jnp.stack([logits] * self.config.pred_len, axis=1)
+        return logits
+
+
+def make_fake_dataset_tree(root, scenarios=("scenario31", "scenario32"),
+                           n_samples=4, seq_len=5, seed=0):
+    """Creates a DeepSense-layout tree + index CSV; returns the CSV name.
+
+    Layout per scenario (data2_seq.py:64-132, createdata_seq.py):
+      unit1/camera_data/<scenario>_<id>.jpg        (enhanced camera)
+      unit1/lidar_data/<id>.ply
+      unit1/radar_data_{ang,vel}/<id>.npy
+      unit2/GPS_data/<id>.txt ; unit1/GPS_data/gps_loc.txt
+    """
+    from PIL import Image
+    from deepsense6g_tii_tpu.utils import ply
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    header = ["index"]
+    for t in range(1, seq_len + 1):
+        header += [f"unit1_rgb_{t}", f"unit1_lidar_{t}", f"unit1_radar_{t}"]
+    header += ["unit2_loc_1", "unit2_loc_2", "unit1_loc", "unit1_beam"]
+
+    for s in scenarios:
+        base = os.path.join(root, s, "unit1")
+        for sub in ("camera_data", "lidar_data", "radar_data_ang",
+                    "radar_data_vel"):
+            os.makedirs(os.path.join(base, sub), exist_ok=True)
+        os.makedirs(os.path.join(root, s, "unit2", "GPS_data"), exist_ok=True)
+        os.makedirs(os.path.join(base, "GPS_data"), exist_ok=True)
+
+        bs_path = f"./{s}/unit1/GPS_data/gps_loc.txt"
+        np.savetxt(os.path.join(root, bs_path[2:]),
+                   [33.42 + rng.normal(scale=1e-5), -111.93])
+
+        for i in range(n_samples):
+            row = [len(rows)]
+            for t in range(1, seq_len + 1):
+                fid = i * seq_len + t
+                cam = f"./{s}/unit1/camera_data/{s}_{fid}.jpg"
+                Image.fromarray(
+                    rng.integers(0, 255, (32, 48, 3), dtype=np.uint8),
+                    "RGB").save(os.path.join(root, cam[2:]))
+                lid = f"./{s}/unit1/lidar_data/{fid}.ply"
+                pts = rng.uniform(-40, 10, size=(200, 3))
+                ply.write_points(os.path.join(root, lid[2:]), pts)
+                rad = f"./{s}/unit1/radar_data/{fid}.npy"
+                for kind in ("ang", "vel"):
+                    np.save(os.path.join(
+                        root, s, "unit1", f"radar_data_{kind}", f"{fid}.npy"),
+                        rng.uniform(0, 1, (256, 256)).astype(np.float32))
+                row += [cam, lid, rad]
+            g1 = f"./{s}/unit2/GPS_data/{i}_1.txt"
+            g2 = f"./{s}/unit2/GPS_data/{i}_2.txt"
+            for g in (g1, g2):
+                np.savetxt(os.path.join(root, g[2:]),
+                           [33.42 + rng.normal(scale=1e-4),
+                            -111.93 + rng.normal(scale=1e-4)])
+            row += [g1, g2, bs_path, int(rng.integers(1, 65))]
+            rows.append(row)
+
+    csv_name = "fake_index.csv"
+    import csv as _csv
+    with open(os.path.join(root, csv_name), "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(header)
+        w.writerows(rows)
+    return csv_name

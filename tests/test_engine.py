@@ -1,0 +1,171 @@
+"""Engine + train-step tests on the 8-device CPU mesh (SURVEY.md section 4):
+loss decreases, EMA semantics, checkpoint/resume, rollback-to-best, CSV
+exports, per-scenario metrics."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepsense6g_tii_tpu.config import GlobalConfig
+from deepsense6g_tii_tpu.parallel.mesh import make_mesh
+from deepsense6g_tii_tpu.train.engine import (Engine, TrainOptions,
+                                              save_pred_to_csv)
+from deepsense6g_tii_tpu.train.state import create_train_state, make_optimizer
+from deepsense6g_tii_tpu.train.steps import make_eval_step, make_train_step
+
+from synthetic_data import TinyFuser, make_batch
+
+CFG = GlobalConfig(seq_len=2, use_pallas_scan=False, compute_dtype="float32")
+
+
+def _loader(rng, n_batches=3, **kw):
+    return [make_batch(rng, **kw) for _ in range(n_batches)]
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, rng):
+        model = TinyFuser(CFG)
+        batch = make_batch(rng, B=8)
+        tx = make_optimizer()
+        step = make_train_step(model, CFG, tx)
+        variables = model.init(jax.random.PRNGKey(0), batch["image"],
+                               batch["lidar"], batch["radar"], batch["gps"])
+        state = create_train_state(variables, tx)
+        dev = {k: jnp.asarray(v) for k, v in batch.items() if k != "scenario"}
+        losses = []
+        for _ in range(20):
+            state, m = step(state, dev, 1e-2)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0] * 0.7
+        assert int(state.step) == 20
+
+    def test_ema_tracks_params(self, rng):
+        model = TinyFuser(CFG)
+        batch = make_batch(rng, B=4)
+        tx = make_optimizer()
+        step = make_train_step(model, CFG, tx, use_ema=True, ema_decay=0.5)
+        variables = model.init(jax.random.PRNGKey(0), batch["image"],
+                               batch["lidar"], batch["radar"], batch["gps"])
+        state = create_train_state(variables, tx)
+        p0 = jax.device_get(state.params)
+        dev = {k: jnp.asarray(v) for k, v in batch.items() if k != "scenario"}
+        state, _ = step(state, dev, 1e-2)
+        p1, e1 = jax.device_get((state.params, state.ema_params))
+        # ema = 0.5*old + 0.5*new
+        want = jax.tree_util.tree_map(lambda a, b: 0.5 * a + 0.5 * b, p0, p1)
+        leaves = zip(jax.tree_util.tree_leaves(e1),
+                     jax.tree_util.tree_leaves(want))
+        for a, b in leaves:
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+    def test_grad_clip(self, rng):
+        model = TinyFuser(CFG)
+        batch = make_batch(rng, B=4)
+        tx = make_optimizer()
+        step = make_train_step(model, CFG, tx, clip_grad_norm=1e-8)
+        variables = model.init(jax.random.PRNGKey(0), batch["image"],
+                               batch["lidar"], batch["radar"], batch["gps"])
+        state = create_train_state(variables, tx)
+        p0 = jax.device_get(state.params)
+        dev = {k: jnp.asarray(v) for k, v in batch.items() if k != "scenario"}
+        state, _ = step(state, dev, 1e-3)
+        p1 = jax.device_get(state.params)
+        # clipped to ~zero grad norm -> params nearly unchanged except wd
+        for a, b in zip(jax.tree_util.tree_leaves(p0),
+                        jax.tree_util.tree_leaves(p1)):
+            np.testing.assert_allclose(a, b, rtol=1e-2, atol=1e-4)
+
+
+class TestEngine:
+    def _engine(self, tmp_path, rng, **opt_kw):
+        opts = TrainOptions(logdir=str(tmp_path / "run"), epochs=2,
+                            lr=1e-3, scheduler=False, **opt_kw)
+        os.makedirs(opts.logdir, exist_ok=True)
+        model = TinyFuser(CFG)
+        return Engine(model, CFG, opts, mesh=make_mesh())
+
+    def test_train_validate_save_resume(self, tmp_path, rng):
+        eng = self._engine(tmp_path, rng)
+        loader = _loader(rng, n_batches=2, B=8)
+        eng.train(loader)
+        dba = eng.validate(loader)
+        eng.save()
+        assert 0.0 <= dba <= 1.0
+        assert os.path.exists(os.path.join(eng.opts.logdir, "final_model.msgpack"))
+        assert os.path.exists(os.path.join(eng.opts.logdir, "best_model.msgpack"))
+        rec = json.load(open(os.path.join(eng.opts.logdir, "recent.log")))
+        assert rec["epoch"] == 1 and rec["bestval"] == dba
+        assert set(rec) == {"epoch", "iter", "bestval", "bestval_epoch",
+                            "train_loss", "val_loss", "DBA"}
+
+        # a second engine resumes from the same logdir
+        eng2 = self._engine(tmp_path, rng)
+        assert eng2.resume()
+        assert eng2.cur_epoch == 1 and eng2.bestval == dba
+        eng2.init_state(loader[0])
+        eng2.load_weights("best_model")
+        dba2 = eng2.validate(loader)
+        assert dba2 == pytest.approx(dba)
+
+    def test_rollback_to_best(self, tmp_path, rng):
+        eng = self._engine(tmp_path, rng, load_previous_best=True)
+        loader = _loader(rng, n_batches=1, B=8)
+        eng.train(loader)
+        eng.validate(loader)
+        eng.save()
+        best = jax.device_get(eng.state.params)
+        # degrade: fake a worse epoch
+        eng.cur_epoch += 1
+        eng.DBA.append(-1.0)
+        eng.train(loader)     # moves params away from best
+        eng.save()            # not best -> rolls back
+        rolled = jax.device_get(eng.state.params)
+        for a, b in zip(jax.tree_util.tree_leaves(best),
+                        jax.tree_util.tree_leaves(rolled)):
+            np.testing.assert_allclose(a, b)
+
+    def test_test_writes_reference_format_csv(self, tmp_path, rng):
+        eng = self._engine(tmp_path, rng)
+        loader = _loader(rng, n_batches=2, B=4)
+        test_batches = [{k: v for k, v in b.items()
+                         if k not in ("beam", "beamidx")} for b in loader]
+        eng.test(test_batches, out_dir=str(tmp_path))
+        lines = open(tmp_path / "beam_pred.csv").read().strip().split("\n")
+        assert lines[0] == "index,top-1 beam,top-2 beam,top-3 beam"
+        assert len(lines) == 1 + 8
+        first = lines[1].split(",")
+        assert 1 <= int(first[1]) <= 64   # 1-indexed beams
+        assert os.path.exists(tmp_path / "beam_pred_confidence_seq.csv")
+
+    def test_ema_validation_uses_shadow(self, tmp_path, rng):
+        eng = self._engine(tmp_path, rng, ema=True)
+        loader = _loader(rng, n_batches=1, B=8)
+        eng.train(loader)
+        # shadow differs from live params after updates
+        p, e = jax.device_get((eng.state.params, eng.state.ema_params))
+        diffs = [np.abs(a - b).max() for a, b in
+                 zip(jax.tree_util.tree_leaves(p), jax.tree_util.tree_leaves(e))]
+        assert max(diffs) > 0
+
+    def test_finetune_stream(self, tmp_path, rng):
+        eng = self._engine(tmp_path, rng, finetune=True)
+        loader = _loader(rng, n_batches=1, B=8)
+        eng.train(loader)
+        assert os.path.exists(os.path.join(
+            eng.opts.logdir, "all_finetune_on_final_model.msgpack"))
+
+
+class TestCsvFormat:
+    def test_matches_reference_beam_pred(self, tmp_path):
+        """Byte-format parity with the published beam_pred.csv header/rows."""
+        ranks = np.tile(np.arange(64), (3, 1))
+        path = tmp_path / "bp.csv"
+        save_pred_to_csv(ranks, target_csv=str(path))
+        got = open(path).read().strip().split("\n")
+        ref_head = open("/root/reference/beam_pred.csv").readline().strip()
+        assert got[0] == ref_head
+        assert got[1] == "0,1,2,3"
