@@ -1,0 +1,88 @@
+"""Benchmark: fused 4-modal samples/sec/chip on the flagship MambaFuser
+train step (forward + backward + AdamW + EMA, batch sharded over all local
+devices).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference MambaFuser trains at 14 min/epoch, batch 24, 2392
+(batch-6) batches/epoch on 6 GPUs (README_mine.md; BASELINE.md) ==
+598 * 24 samples / 840 s / 6 chips ~= 2.85 samples/sec/chip.
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepsense6g_tii_tpu.config import GlobalConfig
+from deepsense6g_tii_tpu.models.fuser import BeamFuser
+from deepsense6g_tii_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from deepsense6g_tii_tpu.train.state import create_train_state, make_optimizer
+from deepsense6g_tii_tpu.train.steps import make_train_step
+
+BASELINE_SAMPLES_PER_SEC_PER_CHIP = 2.85
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    n_chips = len(jax.devices())
+    on_tpu = jax.default_backend() == "tpu"
+    B = 8 * n_chips if on_tpu else n_chips
+    T = 5
+
+    cfg = GlobalConfig(use_pallas_scan=on_tpu,
+                       compute_dtype="bfloat16" if on_tpu else "float32")
+    model = BeamFuser(cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.uniform(0, 255, (B, T, 256, 256, 3)).astype(np.float32),
+        "lidar": rng.uniform(0, 1, (B, T, 256, 256, 1)).astype(np.float32),
+        "radar": rng.uniform(0, 1, (B, T, 256, 256, 2)).astype(np.float32),
+        "gps": rng.normal(size=(B, 2, 2)).astype(np.float32),
+        "beam": rng.uniform(0, 1, (B, 64)).astype(np.float32),
+        "beamidx": rng.integers(0, 64, (B,)).astype(np.int32),
+    }
+
+    mesh = make_mesh()
+    tx = make_optimizer()
+    variables = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        batch["image"][:1], batch["lidar"][:1], batch["radar"][:1],
+        batch["gps"][:1])
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), batch["image"][:1],
+                           batch["lidar"][:1], batch["radar"][:1],
+                           batch["gps"][:1]))()
+    state = replicate(create_train_state(variables, tx), mesh)
+    dev_batch = shard_batch(batch, mesh)
+    step = make_train_step(model, cfg, tx, use_ema=True)
+
+    # warmup/compile
+    state, m = step(state, dev_batch, 1e-4)
+    _ = float(m["loss"])
+
+    n_iter = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        state, m = step(state, dev_batch, 1e-4)
+    _ = float(m["loss"])            # forces completion of the whole chain
+    dt = (time.perf_counter() - t0) / n_iter
+
+    sps_chip = B / dt / n_chips
+    print(json.dumps({
+        "metric": "fused 4-modal train samples/sec/chip (MambaFuser, bs "
+                  f"{B}, {n_chips} chip(s))",
+        "value": round(sps_chip, 3),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(sps_chip / BASELINE_SAMPLES_PER_SEC_PER_CHIP, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

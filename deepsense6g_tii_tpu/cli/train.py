@@ -1,0 +1,199 @@
+"""Training/eval CLI — mirrors the reference flag surface.
+
+``python -m deepsense6g_tii_tpu.cli.train --id run1 --epochs 150 --enhanced 1
+--add_velocity 1 --custom_FoV_lidar 1 --angle_norm 1 [--Test 1 | --Val 1]``
+
+Flag set and semantics follow /root/reference/train2_seq.py:30-68 (logdir
+mangling included); dataset assembly follows train2_seq.py:457-533; the
+epoch driver follows train2_seq.py:607-615.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from datetime import datetime
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    time_id = datetime.now().strftime("%Y%m%d_%H%M%S")
+    p.add_argument("--id", type=str, default=time_id,
+                   help="Unique experiment identifier.")
+    p.add_argument("--device", type=str, default="tpu", help="Device to use")
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--logdir", type=str, default="log")
+    p.add_argument("--add_velocity", type=int, default=1,
+                   help="concatenate velocity map with angle map")
+    p.add_argument("--FFM", type=int, default=1, help="Feature Fusion Mamba")
+    p.add_argument("--TFM", type=int, default=1, help="Time Fusion Mamba")
+    p.add_argument("--add_mask", type=int, default=0)
+    p.add_argument("--enhanced", type=int, default=1)
+    p.add_argument("--filtered", type=int, default=0)
+    p.add_argument("--loss", type=str, default="focal",
+                   help="ce or focal loss")
+    p.add_argument("--scheduler", type=int, default=1)
+    p.add_argument("--load_previous_best", type=int, default=0)
+    p.add_argument("--temp_coef", type=int, default=1)
+    p.add_argument("--train_adapt_together", type=int, default=1)
+    p.add_argument("--finetune", type=int, default=0)
+    p.add_argument("--Val", type=int, default=0)
+    p.add_argument("--Test", type=int, default=0)
+    p.add_argument("--modality_missing", type=str, default=None)
+    p.add_argument("--modality_missing_type", type=str, default="zerolike")
+    p.add_argument("--load_model_path", type=str, default=None)
+    p.add_argument("--augmentation", type=int, default=1)
+    p.add_argument("--angle_norm", type=int, default=1)
+    p.add_argument("--custom_FoV_lidar", type=int, default=1)
+    p.add_argument("--add_seg", type=int, default=0)
+    p.add_argument("--ema", type=int, default=0)
+    p.add_argument("--flip", type=int, default=0)
+    # TPU-native additions
+    p.add_argument("--data_root", type=str, default="./Dataset")
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--cache_dir", type=str, default=None,
+                   help="pre-featurized array cache directory")
+    p.add_argument("--pred_len", type=int, default=1)
+    p.add_argument("--seq_len", type=int, default=5)
+    p.add_argument("--grad_clip", type=float, default=None)
+    p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    return p
+
+
+def mangle_logdir(args) -> str:
+    """logdir suffix rules (train2_seq.py:62-68)."""
+    logdir = args.logdir
+    if logdir == "log":
+        logdir = os.path.join(logdir, args.id)
+    if args.modality_missing is not None:
+        logdir = logdir + "-ms_" + args.modality_missing
+        logdir = logdir + "-" + args.modality_missing_type
+    if args.Val:
+        logdir = logdir + "_val"
+    return logdir
+
+
+def config_from_args(args):
+    from ..config import GlobalConfig
+    return GlobalConfig(
+        seq_len=args.seq_len,
+        pred_len=args.pred_len,
+        data_root=args.data_root,
+        FFM=args.FFM, TFM=args.TFM,
+        modality_missing=args.modality_missing,
+        modality_missing_type=args.modality_missing_type,
+        add_velocity=args.add_velocity,
+        add_mask=args.add_mask,
+        enhanced=args.enhanced,
+        angle_norm=args.angle_norm,
+        custom_FoV_lidar=args.custom_FoV_lidar,
+        filtered=args.filtered,
+        add_seg=args.add_seg,
+        compute_dtype=args.compute_dtype,
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logdir = mangle_logdir(args)
+    os.makedirs(logdir, exist_ok=True)
+
+    from ..config import GlobalConfig
+    from ..data.dataset import BeamDataset, build_train_val_sets
+    from ..data.loader import DataLoader
+    from ..models.fuser import BeamFuser
+    from ..train import checkpoints as ckpt
+    from ..train.engine import Engine, TrainOptions
+
+    cfg = config_from_args(args)
+    data_root = cfg.data_root
+    trainval_root = data_root + "/Multi_Modal/"
+    train_root_csv = "ml_challenge_dev_multi_modal.csv"
+    adaptation_root = data_root + "/Adaptation_dataset_multi_modal/"
+    adaptation_csv = "ml_challenge_data_adaptation_multi_modal.csv"
+
+    opts = TrainOptions(
+        logdir=logdir, epochs=args.epochs, lr=args.lr,
+        loss=args.loss, scheduler=bool(args.scheduler),
+        ema=bool(args.ema), temp_coef=bool(args.temp_coef),
+        load_previous_best=bool(args.load_previous_best),
+        finetune=bool(args.finetune), clip_grad_norm=args.grad_clip)
+
+    model = BeamFuser(cfg)
+    engine = Engine(model, cfg, opts)
+    ckpt.write_args(logdir, vars(args))
+
+    if args.Test:
+        test_root = data_root + "/Multi_Modal_Test/"
+        test_set = BeamDataset(test_root, "ml_challenge_test_multi_modal.csv",
+                               cfg, test=True)
+        print("test_set:", len(test_set))
+        loader = DataLoader(test_set, args.batch_size,
+                            num_workers=args.num_workers)
+        first = next(iter(DataLoader(test_set, 1)))
+        engine.init_state(first)
+        if args.load_model_path:
+            d, name = os.path.split(args.load_model_path)
+            engine.load_weights(name.replace(".msgpack", ""), logdir=d)
+        elif engine.resume():
+            engine.load_weights("best_model")
+        engine.test(loader)
+        print("Test finish")
+        return 0
+
+    train_set, val_set = build_train_val_sets(
+        cfg, trainval_root=trainval_root, train_root_csv=train_root_csv,
+        adaptation_root=adaptation_root, adaptation_csv=adaptation_csv,
+        train_adapt_together=bool(args.train_adapt_together),
+        finetune=bool(args.finetune), augmentation=bool(args.augmentation),
+        flip=bool(args.flip))
+    print("train_set:", len(train_set),
+          "val_set:", len(val_set) if val_set else 0)
+
+    if args.cache_dir:
+        from ..data.cache import CachedDataset, build_cache
+        train_set = CachedDataset(
+            build_cache(train_set, os.path.join(args.cache_dir, "train")))
+        if val_set is not None:
+            val_set = CachedDataset(
+                build_cache(val_set, os.path.join(args.cache_dir, "val")))
+
+    val_loader = (DataLoader(val_set, args.batch_size,
+                             num_workers=args.num_workers)
+                  if val_set is not None else None)
+
+    if args.Val:
+        first = next(iter(DataLoader(val_set, 1)))
+        engine.init_state(first)
+        if args.load_model_path:
+            d, name = os.path.split(args.load_model_path)
+            engine.load_weights(name.replace(".msgpack", ""), logdir=d)
+        engine.validate(val_loader)
+        print("Val finish")
+        return 0
+
+    train_loader = DataLoader(train_set, args.batch_size, shuffle=True,
+                              num_workers=args.num_workers)
+    if engine.resume() and args.finetune:
+        first = next(iter(DataLoader(train_set, 1)))
+        engine.init_state(first)
+        try:
+            engine.load_weights("all_finetune_on_final_model")
+        except FileNotFoundError:
+            engine.load_weights("final_model")
+
+    for epoch in range(engine.cur_epoch, args.epochs):
+        print("epoch:", epoch, "lr:", engine._lr())
+        engine.train(train_loader)
+        if not args.finetune:
+            engine.validate(val_loader)
+            engine.save()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,92 @@
+"""Pre-featurized array cache.
+
+The reference re-decodes every JPEG, re-parses every ASCII .ply and
+re-histograms every cloud on every epoch inside DataLoader workers — the
+single biggest throughput loss (SURVEY.md section 7.2).  ``build_cache``
+featurizes a dataset once into float16 memmaps on disk; ``CachedDataset``
+serves samples by memmap slice, so epochs after the first are pure memory
+reads and the TPU input pipeline is never decode-bound.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import json
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+_MANIFEST = "manifest.json"
+
+
+def build_cache(dataset, cache_dir: str, num_workers: int = 16) -> str:
+    """Featurizes ``dataset`` into ``cache_dir`` memmaps.  Idempotent."""
+    os.makedirs(cache_dir, exist_ok=True)
+    manifest_path = os.path.join(cache_dir, _MANIFEST)
+    if os.path.exists(manifest_path):
+        return cache_dir
+
+    n = len(dataset)
+    first = dataset[0]
+    specs = {}
+    mms = {}
+    for k in ("image", "lidar", "radar", "gps", "beam"):
+        if k in first:
+            shape = (n,) + np.asarray(first[k]).shape
+            specs[k] = {"shape": list(shape), "dtype": "float16"}
+            mms[k] = np.lib.format.open_memmap(
+                os.path.join(cache_dir, f"{k}.npy"), mode="w+",
+                dtype=np.float16, shape=shape)
+    has_labels = "beamidx" in first
+    beamidx = np.zeros((n,), np.int32) if has_labels else None
+    scenarios = [""] * n
+
+    def work(i):
+        s = dataset[i]
+        for k, mm in mms.items():
+            mm[i] = np.asarray(s[k], dtype=np.float16)
+        if has_labels:
+            beamidx[i] = s["beamidx"]
+        scenarios[i] = s.get("scenario", "")
+
+    with cf.ThreadPoolExecutor(num_workers) as pool:
+        list(pool.map(work, range(n)))
+    for mm in mms.values():
+        mm.flush()
+
+    if has_labels:
+        np.save(os.path.join(cache_dir, "beamidx.npy"), beamidx)
+    with open(os.path.join(cache_dir, "scenario.json"), "w") as f:
+        json.dump(scenarios, f)
+    with open(manifest_path, "w") as f:
+        json.dump({"n": n, "specs": specs, "has_labels": has_labels}, f)
+    return cache_dir
+
+
+class CachedDataset:
+    """Serves pre-featurized samples from the memmap cache (float32 out)."""
+
+    def __init__(self, cache_dir: str):
+        with open(os.path.join(cache_dir, _MANIFEST)) as f:
+            m = json.load(f)
+        self.n = m["n"]
+        self.has_labels = m["has_labels"]
+        self.arrays: Dict[str, np.ndarray] = {
+            k: np.load(os.path.join(cache_dir, f"{k}.npy"), mmap_mode="r")
+            for k in m["specs"]}
+        if self.has_labels:
+            self.beamidx = np.load(os.path.join(cache_dir, "beamidx.npy"))
+        with open(os.path.join(cache_dir, "scenario.json")) as f:
+            self.scenarios = json.load(f)
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __getitem__(self, i: int) -> Dict:
+        out = {k: np.asarray(v[i], dtype=np.float32)
+               for k, v in self.arrays.items()}
+        out["scenario"] = self.scenarios[i]
+        if self.has_labels:
+            out["beamidx"] = np.int32(self.beamidx[i])
+        return out

@@ -343,12 +343,13 @@ def selective_scan(u, dt, A, B, C, interpret=False, variant="chunked"):
 def _fwd_impl(u, dt, A, B, C, interpret, variant):
     b, L, d = u.shape
     pad = _pad_len(L)
+    dtypes = (u.dtype, dt.dtype, A.dtype, B.dtype, C.dtype)
     up, dtp, Bp, Cp = (_pad_seq(x.astype(jnp.float32), pad)
                        for x in (u, dt, B, C))
     A_t = A.astype(jnp.float32).T                   # (n, d)
     y, h_in, _ = _scan_fwd_pallas(up, dtp, Bp, Cp, A_t, variant,
                                   interpret=interpret)
-    return y[:, :L], (up, dtp, Bp, Cp, A_t, h_in, L)
+    return y[:, :L], (up, dtp, Bp, Cp, A_t, h_in, L, dtypes)
 
 
 def _fwd_rule(u, dt, A, B, C, interpret, variant):
@@ -358,12 +359,14 @@ def _fwd_rule(u, dt, A, B, C, interpret, variant):
 
 def _bwd_rule(interpret, variant, res, dy):
     del variant  # backward is always chunked
-    up, dtp, Bp, Cp, A_t, h_in, L = res
+    up, dtp, Bp, Cp, A_t, h_in, L, dtypes = res
     pad = up.shape[1] - L
     dyp = _pad_seq(dy.astype(jnp.float32), pad)
     du, ddt, dB, dC, dA = _scan_bwd_pallas(
         up, dtp, Bp, Cp, A_t, h_in, dyp, interpret=interpret)
-    return du[:, :L], ddt[:, :L], dA, dB[:, :L], dC[:, :L]
+    grads = (du[:, :L], ddt[:, :L], dA, dB[:, :L], dC[:, :L])
+    # cotangent dtypes must match the primal dtypes (e.g. bf16 activations)
+    return tuple(g.astype(t) for g, t in zip(grads, dtypes))
 
 
 selective_scan.defvjp(_fwd_rule, _bwd_rule)

@@ -1,0 +1,101 @@
+"""CLI end-to-end tests: flag surface, logdir mangling, a full (tiny-model)
+train->val->save->resume run and a Test-mode beam_pred.csv export over the
+synthetic dataset tree."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from deepsense6g_tii_tpu.cli import train as cli
+from synthetic_data import TinyFuser, make_fake_dataset_tree
+
+
+class TestFlagSurface:
+    def test_reference_flags_accepted(self):
+        p = cli.build_parser()
+        args = p.parse_args([
+            "--id", "x", "--epochs", "150", "--lr", "1e-4",
+            "--batch_size", "12", "--add_velocity", "1", "--FFM", "1",
+            "--TFM", "1", "--add_mask", "0", "--enhanced", "1",
+            "--filtered", "0", "--loss", "focal", "--scheduler", "1",
+            "--load_previous_best", "0", "--temp_coef", "1",
+            "--train_adapt_together", "1", "--finetune", "0", "--Val", "0",
+            "--Test", "0", "--modality_missing", "radar",
+            "--modality_missing_type", "randlike", "--augmentation", "1",
+            "--angle_norm", "1", "--custom_FoV_lidar", "1", "--add_seg", "0",
+            "--ema", "1", "--flip", "0"])
+        assert args.epochs == 150 and args.modality_missing == "radar"
+
+    def test_logdir_mangling(self):
+        p = cli.build_parser()
+        a = p.parse_args(["--id", "exp1", "--modality_missing", "image",
+                          "--Val", "1"])
+        assert cli.mangle_logdir(a) == os.path.join(
+            "log", "exp1") + "-ms_image-zerolike_val"
+
+    def test_config_from_args(self):
+        a = cli.build_parser().parse_args(["--FFM", "0", "--TFM", "0",
+                                           "--enhanced", "0"])
+        cfg = cli.config_from_args(a)
+        assert cfg.FFM == 0 and cfg.TFM == 0 and cfg.enhanced == 0
+        assert cfg.n_tokens == 962
+
+
+@pytest.fixture(scope="module")
+def dataset_root(tmp_path_factory):
+    """A fake data_root with the Multi_Modal / Adaptation layout the CLI
+    expects (train2_seq.py:457-465)."""
+    root = tmp_path_factory.mktemp("dsroot")
+    mm = root / "Multi_Modal"
+    ad = root / "Adaptation_dataset_multi_modal"
+    mt = root / "Multi_Modal_Test"
+    csv1 = make_fake_dataset_tree(str(mm) + "/", n_samples=3, seq_len=2)
+    os.rename(mm / csv1, mm / "ml_challenge_dev_multi_modal.csv")
+    csv2 = make_fake_dataset_tree(str(ad) + "/", n_samples=2, seq_len=2)
+    os.rename(ad / csv2, ad / "ml_challenge_data_adaptation_multi_modal.csv")
+    csv3 = make_fake_dataset_tree(str(mt) + "/", n_samples=2, seq_len=2)
+    os.rename(mt / csv3, mt / "ml_challenge_test_multi_modal.csv")
+    return str(root)
+
+
+class TestEndToEnd:
+    def test_train_val_cycle(self, dataset_root, tmp_path, monkeypatch):
+        monkeypatch.setattr("deepsense6g_tii_tpu.models.fuser.BeamFuser",
+                            TinyFuser)
+        logdir = str(tmp_path / "run")
+        rc = cli.main([
+            "--data_root", dataset_root, "--logdir", logdir,
+            "--epochs", "1", "--batch_size", "4", "--seq_len", "2",
+            "--augmentation", "0", "--train_adapt_together", "1",
+            "--scheduler", "0", "--num_workers", "2",
+            "--compute_dtype", "float32"])
+        assert rc == 0
+        assert os.path.exists(os.path.join(logdir, "final_model.msgpack"))
+        assert os.path.exists(os.path.join(logdir, "args.txt"))
+        rec = json.load(open(os.path.join(logdir, "recent.log")))
+        assert rec["epoch"] == 1
+        # resume continues to epoch 2
+        rc = cli.main([
+            "--data_root", dataset_root, "--logdir", logdir,
+            "--epochs", "2", "--batch_size", "4", "--seq_len", "2",
+            "--augmentation", "0", "--scheduler", "0", "--num_workers", "2",
+            "--compute_dtype", "float32"])
+        rec = json.load(open(os.path.join(logdir, "recent.log")))
+        assert rec["epoch"] == 2
+
+    def test_test_mode_writes_beam_pred(self, dataset_root, tmp_path,
+                                        monkeypatch):
+        monkeypatch.setattr("deepsense6g_tii_tpu.models.fuser.BeamFuser",
+                            TinyFuser)
+        monkeypatch.chdir(tmp_path)
+        logdir = str(tmp_path / "runT")
+        rc = cli.main([
+            "--data_root", dataset_root, "--logdir", logdir,
+            "--Test", "1", "--batch_size", "2", "--seq_len", "2",
+            "--num_workers", "2", "--compute_dtype", "float32"])
+        assert rc == 0
+        lines = open(tmp_path / "beam_pred.csv").read().strip().split("\n")
+        assert lines[0] == "index,top-1 beam,top-2 beam,top-3 beam"
+        assert len(lines) == 1 + 4   # 2 scenarios x 2 samples

@@ -1,0 +1,159 @@
+"""Data-pipeline tests over a synthetic on-disk DeepSense-layout tree:
+dataset loading semantics, path rewriting, flip, combinatorics, loader,
+cache (SURVEY.md section 2a #3, #11)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from deepsense6g_tii_tpu.config import GlobalConfig
+from deepsense6g_tii_tpu.data.cache import CachedDataset, build_cache
+from deepsense6g_tii_tpu.data.dataset import (BeamDataset, ConcatDataset,
+                                              Subset, dataset_augmentation,
+                                              random_split)
+from deepsense6g_tii_tpu.data.loader import DataLoader
+
+from synthetic_data import make_fake_dataset_tree
+
+CFG = GlobalConfig(seq_len=5, enhanced=1, add_velocity=1, angle_norm=1,
+                   custom_FoV_lidar=1)
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ds")) + "/"
+    csv = make_fake_dataset_tree(root, n_samples=4)
+    return root, csv
+
+
+class TestBeamDataset:
+    def test_sample_contract(self, tree):
+        root, csv = tree
+        ds = BeamDataset(root, csv, CFG)
+        assert len(ds) == 8
+        s = ds[0]
+        assert s["image"].shape == (5, 256, 256, 3)
+        assert s["lidar"].shape == (5, 256, 256, 1)
+        assert s["radar"].shape == (5, 256, 256, 2)
+        assert s["gps"].shape == (2, 2)
+        assert s["beam"].shape == (64,)
+        assert s["scenario"] in ("scenario31", "scenario32")
+        assert s["beam"].argmax() == s["beamidx"]
+        assert 0 <= s["beamidx"] < 64
+
+    def test_no_velocity_single_channel(self, tree):
+        root, csv = tree
+        ds = BeamDataset(root, csv, CFG.replace(add_velocity=0))
+        assert ds[0]["radar"].shape == (5, 256, 256, 1)
+
+    def test_flip_mirrors_everything(self, tree):
+        root, csv = tree
+        a = BeamDataset(root, csv, CFG)[1]
+        b = BeamDataset(root, csv, CFG, flip=True)[1]
+        np.testing.assert_allclose(b["image"], a["image"][:, :, ::-1])
+        np.testing.assert_allclose(b["lidar"][..., 0],
+                                   a["lidar"][:, :, ::-1, 0])
+        np.testing.assert_allclose(b["radar"], a["radar"][:, :, ::-1])
+        assert b["beamidx"] == 63 - a["beamidx"]
+        np.testing.assert_allclose(b["beam"], a["beam"][::-1])
+        # gps: only column 1 negated (data2_seq.py:49-50)
+        np.testing.assert_allclose(b["gps"][:, 1], -a["gps"][:, 1])
+        np.testing.assert_allclose(b["gps"][:, 0], a["gps"][:, 0])
+
+    def test_test_mode_has_no_labels(self, tree):
+        root, csv = tree
+        s = BeamDataset(root, csv, CFG, test=True)[0]
+        assert "beam" not in s and "beamidx" not in s
+
+    def test_gps_angle_norm_values(self, tree):
+        root, csv = tree
+        s = BeamDataset(root, csv, CFG)[0]
+        assert (np.abs(s["gps"]) <= np.pi / 2 + 1e-6).all()
+        np.testing.assert_allclose(s["gps"][:, 0], s["gps"][:, 1])
+
+
+class TestCombinatorics:
+    def test_concat_and_split(self, tree):
+        root, csv = tree
+        ds = BeamDataset(root, csv, CFG)
+        cat = ConcatDataset([ds, ds])
+        assert len(cat) == 16
+        np.testing.assert_allclose(cat[9]["gps"], ds[1]["gps"])
+        a, b = random_split(cat, [12, 4], seed=100)
+        assert len(a) == 12 and len(b) == 4
+        # deterministic
+        a2, _ = random_split(cat, [12, 4], seed=100)
+        np.testing.assert_array_equal(a.indices, a2.indices)
+
+    def test_split_validates_lengths(self, tree):
+        root, csv = tree
+        ds = BeamDataset(root, csv, CFG)
+        with pytest.raises(ValueError):
+            random_split(ds, [1, 2])
+
+    def test_augmentation_product_count(self, tree):
+        """(8 camera * 3 lidar * 2 radar) - 1 = 47 combos per CSV
+        (the reference's 7/2/1 augmentation counts, train2_seq.py:395-397)."""
+        root, csv = tree
+        aug = dataset_augmentation(root, csv, CFG, camera_aug=1, lidar_aug=1,
+                                   radar_aug=1)
+        # (2*2*2)-1 = 7 variants of 8 samples
+        assert len(aug) == 7 * 8
+
+
+class TestLoader:
+    def test_batches_and_shapes(self, tree):
+        root, csv = tree
+        ds = BeamDataset(root, csv, CFG)
+        dl = DataLoader(ds, batch_size=3, shuffle=True, num_workers=4)
+        batches = list(dl)
+        assert len(batches) == 3
+        assert batches[0]["image"].shape == (3, 5, 256, 256, 3)
+        assert batches[-1]["image"].shape[0] == 2   # ragged tail kept
+        assert batches[0]["scenario"].shape == (3,)
+
+    def test_shuffle_differs_per_epoch_but_seeded(self, tree):
+        root, csv = tree
+        ds = BeamDataset(root, csv, CFG)
+        dl1 = DataLoader(ds, batch_size=8, shuffle=True, seed=7)
+        e1 = next(iter(dl1))["beamidx"]
+        e2 = next(iter(dl1))["beamidx"]
+        dl2 = DataLoader(ds, batch_size=8, shuffle=True, seed=7)
+        f1 = next(iter(dl2))["beamidx"]
+        np.testing.assert_array_equal(e1, f1)   # same seed, same epoch
+        assert not np.array_equal(e1, e2)       # reshuffled across epochs
+
+    def test_drop_last(self, tree):
+        root, csv = tree
+        ds = BeamDataset(root, csv, CFG)
+        dl = DataLoader(ds, batch_size=3, drop_last=True)
+        assert len(list(dl)) == 2
+
+
+class TestCache:
+    def test_roundtrip(self, tree, tmp_path):
+        root, csv = tree
+        ds = BeamDataset(root, csv, CFG)
+        cache_dir = build_cache(ds, str(tmp_path / "cache"))
+        cds = CachedDataset(cache_dir)
+        assert len(cds) == len(ds)
+        a, b = ds[2], cds[2]
+        np.testing.assert_allclose(b["image"], a["image"], atol=0.5)  # f16
+        np.testing.assert_allclose(b["lidar"], a["lidar"], atol=1e-3)
+        np.testing.assert_allclose(b["gps"], a["gps"], atol=1e-3)
+        assert b["beamidx"] == a["beamidx"]
+        assert b["scenario"] == a["scenario"]
+
+    def test_idempotent(self, tree, tmp_path):
+        root, csv = tree
+        ds = BeamDataset(root, csv, CFG)
+        d = str(tmp_path / "cache2")
+        assert build_cache(ds, d) == build_cache(ds, d)
+
+    def test_feeds_loader(self, tree, tmp_path):
+        root, csv = tree
+        ds = BeamDataset(root, csv, CFG)
+        cds = CachedDataset(build_cache(ds, str(tmp_path / "cache3")))
+        batch = next(iter(DataLoader(cds, batch_size=4)))
+        assert batch["image"].shape == (4, 5, 256, 256, 3)
