@@ -329,13 +329,21 @@ def _pad_seq(x, pad):
     return jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def selective_scan(u, dt, A, B, C, interpret=False, variant="chunked"):
     """Pallas selective scan.  Same contract as ``selective_scan_ref``.
 
     d must be a multiple of 128; L is padded internally to a multiple of BL.
     ``interpret=True`` runs the kernels in interpreter mode (CPU tests).
+    Inputs are cast to float32 outside the custom-vjp boundary, so mixed
+    (e.g. bfloat16) activations differentiate cleanly.
     """
+    return _scan_core(u.astype(jnp.float32), dt.astype(jnp.float32),
+                      A.astype(jnp.float32), B.astype(jnp.float32),
+                      C.astype(jnp.float32), interpret, variant)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _scan_core(u, dt, A, B, C, interpret, variant):
     y, _ = _fwd_impl(u, dt, A, B, C, interpret, variant)
     return y
 
@@ -343,13 +351,11 @@ def selective_scan(u, dt, A, B, C, interpret=False, variant="chunked"):
 def _fwd_impl(u, dt, A, B, C, interpret, variant):
     b, L, d = u.shape
     pad = _pad_len(L)
-    dtypes = (u.dtype, dt.dtype, A.dtype, B.dtype, C.dtype)
-    up, dtp, Bp, Cp = (_pad_seq(x.astype(jnp.float32), pad)
-                       for x in (u, dt, B, C))
-    A_t = A.astype(jnp.float32).T                   # (n, d)
+    up, dtp, Bp, Cp = (_pad_seq(x, pad) for x in (u, dt, B, C))
+    A_t = A.T                                       # (n, d)
     y, h_in, _ = _scan_fwd_pallas(up, dtp, Bp, Cp, A_t, variant,
                                   interpret=interpret)
-    return y[:, :L], (up, dtp, Bp, Cp, A_t, h_in, L, dtypes)
+    return y[:, :L], (up, dtp, Bp, Cp, A_t, h_in, L)
 
 
 def _fwd_rule(u, dt, A, B, C, interpret, variant):
@@ -359,14 +365,12 @@ def _fwd_rule(u, dt, A, B, C, interpret, variant):
 
 def _bwd_rule(interpret, variant, res, dy):
     del variant  # backward is always chunked
-    up, dtp, Bp, Cp, A_t, h_in, L, dtypes = res
+    up, dtp, Bp, Cp, A_t, h_in, L = res
     pad = up.shape[1] - L
     dyp = _pad_seq(dy.astype(jnp.float32), pad)
     du, ddt, dB, dC, dA = _scan_bwd_pallas(
         up, dtp, Bp, Cp, A_t, h_in, dyp, interpret=interpret)
-    grads = (du[:, :L], ddt[:, :L], dA, dB[:, :L], dC[:, :L])
-    # cotangent dtypes must match the primal dtypes (e.g. bf16 activations)
-    return tuple(g.astype(t) for g, t in zip(grads, dtypes))
+    return du[:, :L], ddt[:, :L], dA, dB[:, :L], dC[:, :L]
 
 
-selective_scan.defvjp(_fwd_rule, _bwd_rule)
+_scan_core.defvjp(_fwd_rule, _bwd_rule)
