@@ -148,7 +148,8 @@ class FusionEncoder(nn.Module):
     def __call__(self, image, lidar, radar, gps,
                  rebuild_feats: Optional[jnp.ndarray] = None,
                  train: bool = False,
-                 return_stage1: bool = False):
+                 return_stage1: bool = False,
+                 apply_missing: bool = True):
         """image: (B, T, H, W, 3) in [0, 255]; lidar: (B, T, H, W, 1);
         radar: (B, T, H, W, 1|2); gps: (B, gps_len, 2).
 
@@ -160,8 +161,10 @@ class FusionEncoder(nn.Module):
         dtype = jnp.dtype(cfg.compute_dtype)
 
         image = normalize_imagenet(image.astype(jnp.float32))
-        image, lidar, radar = self._apply_missing(
-            image, lidar.astype(jnp.float32), radar.astype(jnp.float32))
+        lidar = lidar.astype(jnp.float32)
+        radar = radar.astype(jnp.float32)
+        if apply_missing:
+            image, lidar, radar = self._apply_missing(image, lidar, radar)
 
         image = _flatten_bt(image).astype(dtype)
         lidar = _flatten_bt(lidar).astype(dtype)

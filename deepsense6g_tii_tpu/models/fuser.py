@@ -68,6 +68,9 @@ class BeamFuser(nn.Module):
 
     def encode_stage1(self, image, lidar, radar, gps, train: bool = False):
         """Exposes the stage-1 per-modality features for the rebuild
-        subsystem (my_test.py checkpoint-split equivalent)."""
+        subsystem (my_test.py checkpoint-split equivalent).  The missing-
+        modality zeroing is bypassed: the rebuild trainer needs the real
+        target-modality features as its translation label
+        (train_image_radar_lidar_rebuild.py:325-343)."""
         return self.encoder(image, lidar, radar, gps, train=train,
-                            return_stage1=True)
+                            return_stage1=True, apply_missing=False)

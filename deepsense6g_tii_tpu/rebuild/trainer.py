@@ -1,0 +1,261 @@
+"""Modality-rebuild training subsystem (L4).
+
+Functional port of modality_rebuild/train_image_radar_lidar_rebuild.py and
+train_mambafuser_modality_rebuild.py: frozen per-modality stage-1 features
+feed ProjectHeads whose outputs split into shared/specific halves; losses are
+
+  total = alpha_trans * MSE(FeatureTrans(cat(source shared)), target_l1)
+        + alpha_contrast * NT-Xent over shared pairs / 3
+        + alpha_distance * (-MSE) over specific pairs / 3
+        + alpha_fusion * focal loss through the full fuser with the
+          translated features injected via the encoder rebuild hook
+
+with the fusion model trained at lr 1e-6 while the heads train at the
+scheduled base lr (train_image_radar_lidar_rebuild.py:742-758) — realized
+with optax.multi_transform inside one jitted step instead of torch param
+groups.  At eval, ``rebuild_features`` synthesizes the missing modality's
+stage-1 features from the sources (lines 532-563).
+
+The reference freezes *copies* of the stem+stage1 encoders loaded from a
+split checkpoint (my_test.py); here the same boundary is realized with
+``stop_gradient`` around the fuser's own stage-1 tap — identical math, no
+checkpoint surgery (``split_encoder_checkpoint`` still provides the my_test
+equivalent for interop).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Sequence, Tuple
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import GlobalConfig
+from ..train.losses import focal_loss
+from .heads import FeatureTrans, ProjectHead
+from .losses import contrastive_loss, distance_loss, translation_loss
+
+MODALITIES = ("image", "lidar", "radar")
+
+
+class RebuildHeads(nn.Module):
+    """The three ProjectHeads + FeatureTrans as one module."""
+
+    @nn.compact
+    def __call__(self, feats: Dict[str, jnp.ndarray],
+                 source_domain: Sequence[str], train: bool = False):
+        """feats: modality -> (N, spatial, 64) frozen stage-1 features.
+
+        Returns (projections dict, translated target features).
+        """
+        proj = {m: ProjectHead(name=f"{m}_projection_l1")(f, train=train)
+                for m, f in feats.items()}
+        shared = {m: p[..., : p.shape[-1] // 2] for m, p in proj.items()}
+        source = jnp.concatenate([shared[m] for m in source_domain], axis=-1)
+        s2t = FeatureTrans(name="feat_trans_l1")(source, train=train)
+        return proj, s2t
+
+
+@flax.struct.dataclass
+class RebuildState:
+    head_params: Dict
+    head_stats: Dict
+    fusion_params: Dict
+    fusion_stats: Dict
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+@dataclasses.dataclass
+class RebuildOptions:
+    source_domain: Tuple[str, ...] = ("lidar", "radar")
+    target_domain: str = "image"
+    alpha_trans: float = 1.0
+    alpha_contrast: float = 1.0
+    alpha_distance: float = 1.0
+    alpha_fusion: float = 1.0
+    lr: float = 1e-4
+    fusion_lr: float = 1e-6
+    weight_decay: float = 1e-4
+    seed: int = 100
+
+
+def make_rebuild_optimizer(opts: RebuildOptions):
+    return optax.multi_transform(
+        {"heads": optax.inject_hyperparams(optax.adamw)(
+            learning_rate=opts.lr, weight_decay=opts.weight_decay),
+         "fusion": optax.adamw(opts.fusion_lr,
+                               weight_decay=opts.weight_decay)},
+        {"heads": "heads", "fusion": "fusion"})
+
+
+def _set_heads_lr(opt_state, lr):
+    """Functionally replaces the injected heads learning rate inside the
+    multi_transform state."""
+    inner = dict(opt_state.inner_states)
+    hs = inner["heads"]
+    wrapped = hs.inner_state if hasattr(hs, "inner_state") else hs
+    hp = dict(wrapped.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    new_wrapped = wrapped._replace(hyperparams=hp)
+    inner["heads"] = (hs._replace(inner_state=new_wrapped)
+                      if hasattr(hs, "inner_state") else new_wrapped)
+    return opt_state._replace(inner_states=inner)
+
+
+class RebuildTrainer:
+    """Owns the heads + a fusion model; provides jitted train/rebuild/eval."""
+
+    def __init__(self, fusion_model, cfg: GlobalConfig, opts: RebuildOptions):
+        if cfg.modality_missing != opts.target_domain:
+            raise ValueError(
+                "config.modality_missing must equal the rebuild target "
+                f"({opts.target_domain!r}) so the encoder injects the "
+                "rebuilt features")
+        self.fusion_model = fusion_model
+        self.heads = RebuildHeads()
+        self.cfg = cfg
+        self.opts = opts
+        self.tx = make_rebuild_optimizer(opts)
+        self.train_step = self._build_train_step()
+        self.rebuild_features = self._build_eval_rebuild()
+        self.eval_step = self._build_eval_step()
+
+    # -- state ---------------------------------------------------------------
+
+    def init_state(self, fusion_variables: Dict, batch: Dict) -> RebuildState:
+        feats = self._frozen_stage1(fusion_variables["params"],
+                                    fusion_variables["batch_stats"], batch)
+        hv = self.heads.init(jax.random.PRNGKey(self.opts.seed), feats,
+                             self.opts.source_domain)
+        opt_params = {"heads": hv["params"],
+                      "fusion": fusion_variables["params"]}
+        return RebuildState(
+            head_params=hv["params"],
+            head_stats=hv.get("batch_stats", {}),
+            fusion_params=fusion_variables["params"],
+            fusion_stats=fusion_variables.get("batch_stats", {}),
+            opt_state=self.tx.init(opt_params),
+            step=jnp.zeros((), jnp.int32))
+
+    # -- internals -----------------------------------------------------------
+
+    def _frozen_stage1(self, fusion_params, fusion_stats, batch):
+        """(modality -> (B*T, spatial, 64)) frozen stage-1 features."""
+        _, feats = self.fusion_model.apply(
+            {"params": fusion_params, "batch_stats": fusion_stats},
+            batch["image"], batch["lidar"], batch["radar"], batch["gps"],
+            method=self.fusion_model.encode_stage1)
+        out = {}
+        for m, f in zip(MODALITIES, feats):
+            n, h, w, c = f.shape
+            out[m] = jax.lax.stop_gradient(f.reshape(n, h * w, c))
+        return out
+
+    def _build_train_step(self):
+        opts = self.opts
+        cfg = self.cfg
+        base_rng = jax.random.PRNGKey(opts.seed)
+
+        def loss_fn(opt_params, head_stats, fusion_stats, batch, rngs):
+            fusion_vars = {"params": opt_params["fusion"],
+                           "batch_stats": fusion_stats}
+            feats = self._frozen_stage1(opt_params["fusion"], fusion_stats,
+                                        batch)
+            (proj, s2t), mut = self.heads.apply(
+                {"params": opt_params["heads"], "batch_stats": head_stats},
+                feats, opts.source_domain, train=True,
+                mutable=["batch_stats"], rngs=rngs)
+
+            shared = {m: p[..., : p.shape[-1] // 2] for m, p in proj.items()}
+            spec = {m: p[..., p.shape[-1] // 2:] for m, p in proj.items()}
+            pairs = (("image", "lidar"), ("image", "radar"),
+                     ("lidar", "radar"))
+            l_con = sum(contrastive_loss(shared[a], shared[b], cfg.seq_len)
+                        for a, b in pairs) / 3.0
+            l_dis = sum(distance_loss(spec[a], spec[b])
+                        for a, b in pairs) / 3.0
+            l_trans = translation_loss(s2t, feats[opts.target_domain])
+
+            n, hw, c = s2t.shape
+            side = int(np.sqrt(hw))
+            rebuild = s2t.reshape(n, side, side, c)
+            logits = self.fusion_model.apply(
+                fusion_vars, batch["image"], batch["lidar"], batch["radar"],
+                batch["gps"], rebuild_feats=rebuild, train=False, rngs=rngs)
+            l_fus = focal_loss(logits, batch["beam"])
+
+            total = (opts.alpha_trans * l_trans
+                     + opts.alpha_contrast * l_con
+                     + opts.alpha_distance * l_dis
+                     + opts.alpha_fusion * l_fus)
+            aux = {"loss": total, "trans": l_trans, "contrast": l_con,
+                   "distance": l_dis, "fusion": l_fus,
+                   "head_stats": mut["batch_stats"]}
+            return total, aux
+
+        @jax.jit
+        def step(state: RebuildState, batch, lr):
+            rngs = {"dropout": jax.random.fold_in(base_rng, state.step),
+                    "rebuild": jax.random.fold_in(base_rng, state.step + 1)}
+            opt_params = {"heads": state.head_params,
+                          "fusion": state.fusion_params}
+            grads, aux = jax.grad(loss_fn, has_aux=True)(
+                opt_params, state.head_stats, state.fusion_stats, batch, rngs)
+            opt_state = _set_heads_lr(state.opt_state, lr)
+            updates, opt_state = self.tx.update(grads, opt_state, opt_params)
+            new_params = optax.apply_updates(opt_params, updates)
+            return state.replace(
+                head_params=new_params["heads"],
+                head_stats=aux.pop("head_stats"),
+                fusion_params=new_params["fusion"],
+                opt_state=opt_state,
+                step=state.step + 1), aux
+
+        return step
+
+    def _build_eval_rebuild(self):
+        opts = self.opts
+
+        @jax.jit
+        def rebuild(state: RebuildState, batch):
+            feats = self._frozen_stage1(state.fusion_params,
+                                        state.fusion_stats, batch)
+            src = {m: feats[m] for m in opts.source_domain}
+            _, s2t = self.heads.apply(
+                {"params": state.head_params,
+                 "batch_stats": state.head_stats},
+                src, opts.source_domain, train=False)
+            n, hw, c = s2t.shape
+            side = int(np.sqrt(hw))
+            return s2t.reshape(n, side, side, c)
+
+        return rebuild
+
+    def _build_eval_step(self):
+        @jax.jit
+        def eval_step(state: RebuildState, batch):
+            rebuild = self.rebuild_features(state, batch)
+            logits = self.fusion_model.apply(
+                {"params": state.fusion_params,
+                 "batch_stats": state.fusion_stats},
+                batch["image"], batch["lidar"], batch["radar"], batch["gps"],
+                rebuild_feats=rebuild, train=False)
+            return {"ranks": jnp.argsort(logits, axis=-1, descending=True)}
+
+        return eval_step
+
+
+def split_encoder_checkpoint(params: Dict) -> Dict[str, Dict]:
+    """my_test.py equivalent: extracts the three per-modality stem+stage1
+    subtrees from full fuser params (for standalone frozen encoders)."""
+    out = {}
+    for name in ("image_encoder", "lidar_encoder", "radar_encoder"):
+        bb = params["encoder"][name]
+        out[name] = {"stem": bb["stem"], "stage1": bb["stage1"]}
+    return out

@@ -1,0 +1,144 @@
+"""Modality-rebuild subsystem tests (SURVEY.md section 2a #28, #30)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepsense6g_tii_tpu.config import GlobalConfig
+from deepsense6g_tii_tpu.models.fuser import BeamFuser
+from deepsense6g_tii_tpu.rebuild.heads import FeatureTrans, ProjectHead
+from deepsense6g_tii_tpu.rebuild.losses import (contrastive_loss,
+                                                distance_loss,
+                                                translation_loss)
+from deepsense6g_tii_tpu.rebuild.trainer import (RebuildOptions,
+                                                 RebuildTrainer,
+                                                 split_encoder_checkpoint)
+
+from synthetic_data import make_batch
+
+CFG = GlobalConfig(seq_len=2, n_layer=1, use_pallas_scan=False,
+                   compute_dtype="float32", modality_missing="image")
+
+
+class TestHeads:
+    def test_project_head_unit_norm(self, rng):
+        ph = ProjectHead()
+        x = jnp.asarray(rng.normal(size=(4, 16, 64)).astype(np.float32))
+        v = ph.init(jax.random.PRNGKey(0), x)
+        y = ph.apply(v, x)
+        assert y.shape == (4, 16, 128)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(y), axis=-1),
+                                   1.0, rtol=1e-5)
+
+    def test_feature_trans_shapes(self, rng):
+        ft = FeatureTrans()
+        x = jnp.asarray(rng.normal(size=(4, 16, 128)).astype(np.float32))
+        v = ft.init(jax.random.PRNGKey(0), x)
+        assert ft.apply(v, x).shape == (4, 16, 64)
+
+
+def reference_contrastive(x1, x2, temperature=0.1, seq=5):
+    """NumPy port of the reference NT-Xent (lines 93-123)."""
+    x1 = x1.sum(-2) if x1.ndim == 3 else x1
+    x2 = x2.sum(-2)
+    B = x1.shape[0] // seq
+    z_i = x1.reshape(B, -1)
+    z_j = x2.reshape(B, -1)
+    z_i = z_i / np.linalg.norm(z_i, axis=1, keepdims=True)
+    z_j = z_j / np.linalg.norm(z_j, axis=1, keepdims=True)
+    reps = np.concatenate([z_i, z_j], 0)
+    sim = reps @ reps.T
+    pos = np.concatenate([np.diagonal(sim, B), np.diagonal(sim, -B)])
+    mask = 1 - np.eye(2 * B)
+    denom = (mask * np.exp(sim / temperature)).sum(1)
+    return float((-np.log(np.exp(pos / temperature) / denom)).sum() / (2 * B))
+
+
+class TestLosses:
+    def test_contrastive_matches_reference(self, rng):
+        x1 = rng.normal(size=(10, 7, 16)).astype(np.float32)
+        x2 = rng.normal(size=(10, 7, 16)).astype(np.float32)
+        got = float(contrastive_loss(jnp.asarray(x1), jnp.asarray(x2),
+                                     seq_len=5))
+        assert got == pytest.approx(reference_contrastive(x1, x2), rel=1e-4)
+
+    def test_contrastive_identical_pairs_low(self, rng):
+        x = rng.normal(size=(10, 7, 16)).astype(np.float32)
+        same = float(contrastive_loss(jnp.asarray(x), jnp.asarray(x)))
+        other = float(contrastive_loss(
+            jnp.asarray(x), jnp.asarray(rng.normal(size=(10, 7, 16)).astype(np.float32))))
+        assert same < other
+
+    def test_distance_negative_mse(self, rng):
+        a = jnp.asarray(rng.normal(size=(4, 8)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(4, 8)).astype(np.float32))
+        assert float(distance_loss(a, b)) == pytest.approx(
+            -float(((a - b) ** 2).mean()), rel=1e-6)
+        assert float(translation_loss(a, b)) == pytest.approx(
+            float(((a - b) ** 2).mean()), rel=1e-6)
+
+
+class TestRebuildTrainer:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        rng = np.random.default_rng(0)
+        model = BeamFuser(CFG)
+        batch = make_batch(rng, B=2, T=2)
+        dev = {k: jnp.asarray(v) for k, v in batch.items() if k != "scenario"}
+        variables = model.init(jax.random.PRNGKey(0), dev["image"],
+                               dev["lidar"], dev["radar"], dev["gps"])
+        opts = RebuildOptions(source_domain=("lidar", "radar"),
+                              target_domain="image")
+        trainer = RebuildTrainer(model, CFG, opts)
+        state = trainer.init_state(variables, dev)
+        return trainer, state, dev
+
+    def test_requires_matching_missing_config(self):
+        model = BeamFuser(CFG.replace(modality_missing=None))
+        with pytest.raises(ValueError):
+            RebuildTrainer(model, CFG.replace(modality_missing=None),
+                           RebuildOptions())
+
+    def test_train_step_runs_and_updates(self, setup):
+        trainer, state, dev = setup
+        s1, aux = trainer.train_step(state, dev, 1e-4)
+        for k in ("loss", "trans", "contrast", "distance", "fusion"):
+            assert np.isfinite(float(aux[k])), k
+        # heads moved
+        moved = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            state.head_params, s1.head_params)
+        assert max(jax.tree_util.tree_leaves(moved)) > 0
+        # fusion moved much less (lr 1e-6 vs 1e-4)
+        fus = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            state.fusion_params, s1.fusion_params)
+        assert max(jax.tree_util.tree_leaves(fus)) < 1e-4
+
+    def test_rebuild_feature_shapes(self, setup):
+        trainer, state, dev = setup
+        rb = trainer.rebuild_features(state, dev)
+        assert rb.shape == (2 * 2, 64, 64, 64)   # (B*T, H/4, W/4, C)
+
+    def test_eval_injection_changes_logits(self, setup):
+        trainer, state, dev = setup
+        with_rb = trainer.eval_step(state, dev)["ranks"]
+        assert with_rb.shape == (2, 64)
+
+    def test_translation_trains_toward_target(self, setup):
+        trainer, state, dev = setup
+        aux0 = None
+        for i in range(8):
+            state, aux = trainer.train_step(state, dev, 1e-3)
+            if aux0 is None:
+                aux0 = aux
+        assert float(aux["trans"]) < float(aux0["trans"])
+
+    def test_split_checkpoint(self, setup):
+        trainer, state, dev = setup
+        parts = split_encoder_checkpoint(state.fusion_params)
+        assert set(parts) == {"image_encoder", "lidar_encoder",
+                              "radar_encoder"}
+        assert "stem" in parts["image_encoder"]
+        assert "stage1" in parts["lidar_encoder"]
