@@ -119,3 +119,11 @@ POS_MAX = (40.20955233, 52.31386139)
 POS_MIN = (-7.18029715, -97.55563452)
 
 SCENARIOS = ("scenario31", "scenario32", "scenario33", "scenario34")
+
+
+def config_30to5(**overrides) -> GlobalConfig:
+    """The 30-to-5 multi-step variant: 10 input frames, 5 predicted beams,
+    1922 fused tokens (config_seq_30to5.py:6-7; model2_seq_30to5.py:624).
+    Unlike the reference's forked files, this is the same config class —
+    every jitted graph derives its static shapes from it."""
+    return GlobalConfig(seq_len=10, pred_len=5, **overrides)

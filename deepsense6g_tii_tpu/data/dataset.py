@@ -177,13 +177,29 @@ class BeamDataset:
         data["radar"] = np.stack(radars)
 
         if not self.test:
-            beamidx = int(self.dataframe["unit1_beam"][index]) - 1
-            beam = F.soft_beam_target_np(beamidx, cfg.num_beams)
-            if self.flip:
-                beamidx = cfg.num_beams - 1 - beamidx
-                beam = np.ascontiguousarray(np.flip(beam, 0))
-            data["beam"] = beam.astype(np.float32)
-            data["beamidx"] = np.int32(beamidx)
+            raw = self.dataframe["unit1_beam"][index]
+            if cfg.pred_len > 1:
+                # 30to5 labels: "b1_b2_..._bP" (createdata_seq.py:30-39;
+                # data2_seq_30to5.py:160-172 emits pred_len soft targets)
+                idxs = [int(x) - 1 for x in str(raw).split("_")]
+                if len(idxs) != cfg.pred_len:
+                    raise ValueError(
+                        f"expected {cfg.pred_len} beam labels, got {raw!r}")
+                beams = np.stack([F.soft_beam_target_np(i, cfg.num_beams)
+                                  for i in idxs])
+                if self.flip:
+                    idxs = [cfg.num_beams - 1 - i for i in idxs]
+                    beams = np.ascontiguousarray(np.flip(beams, 1))
+                data["beam"] = beams.astype(np.float32)
+                data["beamidx"] = np.asarray(idxs, np.int32)
+            else:
+                beamidx = int(raw) - 1
+                beam = F.soft_beam_target_np(beamidx, cfg.num_beams)
+                if self.flip:
+                    beamidx = cfg.num_beams - 1 - beamidx
+                    beam = np.ascontiguousarray(np.flip(beam, 0))
+                data["beam"] = beam.astype(np.float32)
+                data["beamidx"] = np.int32(beamidx)
         return data
 
 

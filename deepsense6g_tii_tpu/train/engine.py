@@ -25,6 +25,7 @@ from ..parallel.mesh import (make_mesh, pad_to_multiple, replicate,
                              shard_batch)
 from . import checkpoints as ckpt
 from .metrics import compute_acc, compute_dba_score, flatten_multistep
+from .profiling import StepTimer
 from .scheduler import cyclic_cosine_decay_lr
 from .state import TrainState, create_train_state, make_optimizer
 from .steps import make_eval_step, make_train_step
@@ -78,6 +79,7 @@ class Engine:
             model, cfg, loss_name=opts.loss, temp_coef=opts.temp_coef,
             use_ema=opts.ema)
 
+        self.timer = StepTimer()
         self.state: Optional[TrainState] = None
         if init_batch is not None:
             self.init_state(init_batch)
@@ -126,16 +128,22 @@ class Engine:
         lr = self._lr()
         loss_epoch, num_batches = 0.0, 0
         gt_all, pred_all = [], []
+        self.timer.reset()
+        batch_size = None
         for batch in loader:
             if self.state is None:
                 self.init_state(batch)
             dev, n = self._to_device(batch)
+            batch_size = batch_size or n
             self.state, m = self.train_step(self.state, dev, lr)
             loss_epoch += float(m["loss"])
+            self.timer.tick()
             pred_all.append(np.asarray(m["ranks"])[:n])
             gt_all.append(np.asarray(batch["beamidx"]))
             num_batches += 1
             self.cur_iter += 1
+        for tag, v in self.timer.stats(batch_size).items():
+            self.logger.scalar(f"perf/{tag}", v, self.cur_epoch + 1)
 
         pred_all = np.concatenate(pred_all, 0)
         gt_all = np.concatenate(gt_all, 0)
