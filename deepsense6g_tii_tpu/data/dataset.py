@@ -130,6 +130,18 @@ class BeamDataset:
                           255).astype(np.uint8)
         return img
 
+    @staticmethod
+    def _lidar_bev(path: str, fov) -> np.ndarray:
+        """PLY -> BEV via the C++ loader when built (bit-identical to the
+        Python path, tests/test_native.py), else utils.ply + NumPy."""
+        from ..runtime import native
+        if native.available():
+            out = native.batch_ply_to_bev([path], np.asarray([fov]),
+                                          n_threads=1)
+            if out is not None:
+                return out[0]
+        return F.lidar_to_bev_np(ply.read_points(path), fov)[0]
+
     def __getitem__(self, index: int) -> Dict:
         cfg = self.config
         data: Dict = {}
@@ -165,9 +177,8 @@ class BeamDataset:
             radars.append(np.stack(chans, axis=-1).astype(np.float32))
 
             lidar_rel = self._lidar_path(t, index)
-            pts = ply.read_points(self.root + lidar_rel)
             fov = F.fov_for_address(lidar_rel, bool(cfg.custom_FoV_lidar))
-            bev = F.lidar_to_bev_np(pts, fov)[0]          # (256, 256)
+            bev = self._lidar_bev(self.root + lidar_rel, fov)  # (256, 256)
             if self.flip:
                 bev = np.ascontiguousarray(np.flip(bev, 1))
             lidars.append(bev[..., np.newaxis].astype(np.float32))

@@ -74,6 +74,9 @@ def nearest_neighbors_tpu(queries: np.ndarray, points: np.ndarray,
 def _nn(queries, points, backend):
     if backend == "tpu":
         return nearest_neighbors_tpu(queries, points)
+    if backend == "native":
+        from ...runtime import native
+        return native.KdTree(points).nearest(queries)
     return nearest_neighbors_kdtree(queries, points)
 
 
@@ -153,7 +156,7 @@ def main(argv=None) -> int:
                    help="output dir = <src> with lidar_data -> "
                         "lidar_data<out_suffix>")
     p.add_argument("--background", default=None)
-    p.add_argument("--backend", default="kdtree", choices=["kdtree", "tpu"])
+    p.add_argument("--backend", default="kdtree", choices=["kdtree", "native", "tpu"])
     a = p.parse_args(argv)
     outs = [d.rstrip("/").replace("lidar_data", "lidar_data" + a.out_suffix)
             for d in a.lidar_dirs]
