@@ -63,8 +63,14 @@ class FusionEncoder(nn.Module):
             for i in range(4)
         ]
         fusion_type = "mamba" if cfg.FFM else "gpt"
+        # config.remat: rematerialize each fusion stage in the backward pass
+        # (jax.checkpoint) — trades ~1 extra forward of the fusion stack for
+        # not keeping its activations live, the standard HBM lever for
+        # larger per-chip batches.
+        fusion_cls = (nn.remat(TokenFusion, static_argnums=(5,))
+                      if cfg.remat else TokenFusion)
         self.fusions = [
-            TokenFusion(
+            fusion_cls(
                 n_embd=STAGE_FEATURES[i],
                 n_layer=cfg.n_layer,
                 seq_len=cfg.seq_len,
@@ -184,8 +190,9 @@ class FusionEncoder(nn.Module):
                        for f in feats]
             anchors = [_unflatten_bt(a, B) for a in anchors]
             gps_emb = self.vel_embs[i](gps_feats).astype(dtype)
+            # positional call: deterministic is a static arg under nn.remat
             img_o, lid_o, rad_o, gps_feats = self.fusions[i](
-                *anchors, gps_emb, deterministic=not train)
+                anchors[0], anchors[1], anchors[2], gps_emb, not train)
             gps_feats = gps_feats.astype(jnp.float32)
             outs = [_flatten_bt(o) for o in (img_o, lid_o, rad_o)]
             if STAGE_UPSAMPLE[i] > 1:

@@ -36,9 +36,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# chunk length along the sequence axis / channel block width
+# chunk length along the sequence axis / channel block widths.
+# BL defines the chunk-boundary states shared by forward and backward; the
+# channel block width can differ per direction (the backward holds more
+# live VMEM arrays, so it prefers a narrower block).
 BL = 128
-BD = 128
+FWD_BD = 128
+BWD_BD = 128
 
 
 def selective_scan_ref(u: jnp.ndarray, dt: jnp.ndarray, A: jnp.ndarray,
@@ -180,6 +184,7 @@ def _fwd_kernel_sequential(u_ref, dt_ref, b_ref, c_ref, at_ref,
 def _scan_fwd_pallas(u, dt, B, C, A_t, variant, interpret=False):
     b, L, d = u.shape
     n = B.shape[-1]
+    BD = min(FWD_BD, d)
     nc = L // BL
     nd = d // BD
     grid = (b, nd, nc)
@@ -267,6 +272,7 @@ def _bwd_kernel_chunked(u_ref, dt_ref, b_ref, c_ref, at_ref, hin_ref, dy_ref,
 def _scan_bwd_pallas(u, dt, B, C, A_t, h_in, dy, interpret=False):
     b, L, d = u.shape
     n = B.shape[-1]
+    BD = min(BWD_BD, d)
     nc = L // BL
     nd = d // BD
     grid = (b, nd, nc)
