@@ -61,6 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seq_len", type=int, default=5)
     p.add_argument("--grad_clip", type=float, default=None)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--remat", type=int, default=0,
+                   help="rematerialize fusion stages (larger batches)")
+    p.add_argument("--multihost", type=int, default=0,
+                   help="jax.distributed.initialize() for multi-host DCN "
+                        "training; same code, bigger ('data',) mesh")
     return p
 
 
@@ -94,11 +99,15 @@ def config_from_args(args):
         filtered=args.filtered,
         add_seg=args.add_seg,
         compute_dtype=args.compute_dtype,
+        remat=bool(args.remat),
     )
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.multihost:
+        import jax
+        jax.distributed.initialize()
     logdir = mangle_logdir(args)
     os.makedirs(logdir, exist_ok=True)
 
