@@ -242,7 +242,6 @@ def _bwd_kernel_chunked(u_ref, dt_ref, b_ref, c_ref, at_ref, hin_ref, dy_ref,
     dtu = (dt * u)[:, None, :]                             # (BL, 1, BD)
     bb = Bv[:, :, None] * dtu
     hs = _chunk_scan(a1, bb, h_in)                         # states h_t
-    h_prev = jnp.concatenate([h_in[None], hs[:-1]], axis=0)
 
     # reverse recurrence g[t] = q[t] + a1[t+1] g[t+1], incoming carry
     # G = a1[first of later chunk] * g[first of later chunk]
@@ -254,7 +253,9 @@ def _bwd_kernel_chunked(u_ref, dt_ref, b_ref, c_ref, at_ref, hin_ref, dy_ref,
 
     gb = jnp.sum(g * Bv[:, :, None], axis=1)               # (BL, BD)
     du_ref[0] = (dt * gb).astype(du_ref.dtype)
-    gsa = g * h_prev * a1                                  # (BL, n, BD)
+    # d a1 / d(.) terms need g * h_prev * a1; the recurrence gives
+    # h_prev * a1 == hs - bb, saving the shifted-state materialization
+    gsa = g * (hs - bb)                                    # (BL, n, BD)
     ddt_ref[0] = (gb * u + jnp.sum(gsa * A_t[None], axis=1)).astype(ddt_ref.dtype)
     db_ref[0, 0] = jnp.sum(g * dtu, axis=2).astype(db_ref.dtype)
     dc_ref[0, 0] = jnp.sum(hs * dy[:, None, :], axis=2).astype(dc_ref.dtype)
