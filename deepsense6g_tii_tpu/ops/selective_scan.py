@@ -114,9 +114,88 @@ def _doubling_scan(a: jnp.ndarray, b: jnp.ndarray):
     return a, b
 
 
+SEG = 16   # segment width of the two-level in-chunk scan
+
+
+def _shift_down_ax(x: jnp.ndarray, s: int, fill: float, axis: int):
+    pad_shape = list(x.shape)
+    pad_shape[axis] = s
+    pad = jnp.full(pad_shape, fill, x.dtype)
+    idx = [slice(None)] * x.ndim
+    idx[axis] = slice(0, x.shape[axis] - s)
+    return jnp.concatenate([pad, x[tuple(idx)]], axis=axis)
+
+
+def _shift_up_ax(x: jnp.ndarray, s: int, fill: float, axis: int):
+    pad_shape = list(x.shape)
+    pad_shape[axis] = s
+    pad = jnp.full(pad_shape, fill, x.dtype)
+    idx = [slice(None)] * x.ndim
+    idx[axis] = slice(s, None)
+    return jnp.concatenate([x[tuple(idx)], pad], axis=axis)
+
+
+def _segmented_scan(a: jnp.ndarray, b: jnp.ndarray):
+    """Two-level inclusive scan: same contract as ``_doubling_scan`` but with
+    log2(SEG) + log2(T/SEG) doubling steps instead of log2(T) — the
+    segment-level pass runs on arrays 1/SEG the size, cutting dense VPU
+    passes ~1.5x for T=128, SEG=16."""
+    T = a.shape[0]
+    if T <= SEG:
+        return _doubling_scan(a, b)
+    G = T // SEG
+    a4 = a.reshape((G, SEG) + a.shape[1:])
+    b4 = b.reshape((G, SEG) + b.shape[1:])
+    s = 1
+    while s < SEG:
+        b4 = b4 + a4 * _shift_down_ax(b4, s, 0.0, axis=1)
+        a4 = a4 * _shift_down_ax(a4, s, 1.0, axis=1)
+        s *= 2
+    # segment summaries -> exclusive prefix over segments (tiny arrays)
+    aa, bb = a4[:, SEG - 1], b4[:, SEG - 1]
+    s = 1
+    while s < G:
+        bb = bb + aa * _shift_down_ax(bb, s, 0.0, axis=0)
+        aa = aa * _shift_down_ax(aa, s, 1.0, axis=0)
+        s *= 2
+    h_in_seg = _shift_down_ax(bb, 1, 0.0, axis=0)[:, None]   # (G, 1, ...)
+    a_in_seg = _shift_down_ax(aa, 1, 1.0, axis=0)[:, None]
+    h = b4 + a4 * h_in_seg
+    a_cum = a4 * a_in_seg
+    return (a_cum.reshape((T,) + a.shape[1:]),
+            h.reshape((T,) + b.shape[1:]))
+
+
+def _segmented_scan_rev(a: jnp.ndarray, b: jnp.ndarray):
+    """Two-level version of ``_doubling_scan_rev`` (suffix scan)."""
+    T = a.shape[0]
+    if T <= SEG:
+        return _doubling_scan_rev(a, b)
+    G = T // SEG
+    a4 = a.reshape((G, SEG) + a.shape[1:])
+    b4 = b.reshape((G, SEG) + b.shape[1:])
+    s = 1
+    while s < SEG:
+        b4 = b4 + a4 * _shift_up_ax(b4, s, 0.0, axis=1)
+        a4 = a4 * _shift_up_ax(a4, s, 1.0, axis=1)
+        s *= 2
+    aa, bb = a4[:, 0], b4[:, 0]
+    s = 1
+    while s < G:
+        bb = bb + aa * _shift_up_ax(bb, s, 0.0, axis=0)
+        aa = aa * _shift_up_ax(aa, s, 1.0, axis=0)
+        s *= 2
+    g_in_seg = _shift_up_ax(bb, 1, 0.0, axis=0)[:, None]
+    a_in_seg = _shift_up_ax(aa, 1, 1.0, axis=0)[:, None]
+    g = b4 + a4 * g_in_seg
+    a_cum = a4 * a_in_seg
+    return (a_cum.reshape((T,) + a.shape[1:]),
+            g.reshape((T,) + b.shape[1:]))
+
+
 def _chunk_scan(a1, bb, h_in):
     """All in-chunk states from per-step decays a1, updates bb, entry state."""
-    a_cum, h_rel = _doubling_scan(a1, bb)
+    a_cum, h_rel = _segmented_scan(a1, bb)
     return h_rel + a_cum * h_in[None]
 
 
@@ -247,7 +326,7 @@ def _bwd_kernel_chunked(u_ref, dt_ref, b_ref, c_ref, at_ref, hin_ref, dy_ref,
     # G = a1[first of later chunk] * g[first of later chunk]
     q = Cv[:, :, None] * dy[:, None, :]                    # (BL, n, BD)
     a_up = _shift_up(a1, 1, 1.0)                           # a_up[t] = a1[t+1]
-    a_cum, g_rel = _doubling_scan_rev(a_up, q)
+    a_cum, g_rel = _segmented_scan_rev(a_up, q)
     g = g_rel + a_cum * g_scr[...][None]                   # (BL, n, BD)
     g_scr[...] = a1[0] * g[0]                              # carry for chunk-1
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 import csv
 import dataclasses
 import os
+import time
 from typing import Dict, Iterable, List, Optional
 
 import jax
@@ -126,24 +127,38 @@ class Engine:
         """One training epoch; returns the epoch's train DBA
         (train2_seq.py:94-156)."""
         lr = self._lr()
-        loss_epoch, num_batches = 0.0, 0
-        gt_all, pred_all = [], []
+        num_batches = 0
+        losses, gt_all, pred_all = [], [], []
         self.timer.reset()
         batch_size = None
+        epoch_t0 = time.perf_counter()
         for batch in loader:
             if self.state is None:
                 self.init_state(batch)
             dev, n = self._to_device(batch)
             batch_size = batch_size or n
             self.state, m = self.train_step(self.state, dev, lr)
-            loss_epoch += float(m["loss"])
-            self.timer.tick()
-            pred_all.append(np.asarray(m["ranks"])[:n])
+            # keep metrics as device arrays — a host readback here would
+            # serialize every step on the transfer link
+            losses.append(m["loss"])
+            pred_all.append((m["ranks"], n))
             gt_all.append(np.asarray(batch["beamidx"]))
+            self.timer.tick()
             num_batches += 1
             self.cur_iter += 1
+        loss_epoch = float(np.mean([np.asarray(l) for l in losses])) \
+            if losses else 0.0
+        pred_all = [np.asarray(r)[:n] for r, n in pred_all]
+        epoch_dt = time.perf_counter() - epoch_t0       # includes final sync
+        if num_batches and batch_size:
+            self.logger.scalar("perf/samples_per_sec",
+                               num_batches * batch_size / epoch_dt,
+                               self.cur_epoch + 1)
+            self.logger.scalar("perf/step_ms_mean",
+                               epoch_dt / num_batches * 1e3,
+                               self.cur_epoch + 1)
         for tag, v in self.timer.stats(batch_size).items():
-            self.logger.scalar(f"perf/{tag}", v, self.cur_epoch + 1)
+            self.logger.scalar(f"perf/dispatch_{tag}", v, self.cur_epoch + 1)
 
         pred_all = np.concatenate(pred_all, 0)
         gt_all = np.concatenate(gt_all, 0)
@@ -151,7 +166,6 @@ class Engine:
             pred_all, gt_all = flatten_multistep(pred_all, gt_all)
         acc = compute_acc(pred_all, gt_all)
         dba = compute_dba_score(pred_all, gt_all)
-        loss_epoch /= max(num_batches, 1)
         self.train_loss.append(loss_epoch)
         self.cur_epoch += 1
         self.logger.scalar("DBA_score_train", dba, self.cur_epoch)
@@ -168,18 +182,21 @@ class Engine:
 
     def validate(self, loader: Iterable[Dict]) -> float:
         """Validation epoch with per-scenario DBA (train2_seq.py:158-221)."""
-        loss_epoch, num_batches = 0.0, 0
-        gt_all, pred_all, scen_all = [], [], []
+        num_batches = 0
+        losses, gt_all, pred_all, scen_all = [], [], [], []
         for batch in loader:
             if self.state is None:
                 self.init_state(batch)
             dev, n = self._to_device(batch)
             m = self.eval_step(self.state, dev)
-            loss_epoch += float(m["loss"])
-            pred_all.append(np.asarray(m["ranks"])[:n])
+            losses.append(m["loss"])
+            pred_all.append((m["ranks"], n))
             gt_all.append(np.asarray(batch["beamidx"]))
             scen_all.append(np.asarray(batch["scenario"]))
             num_batches += 1
+        loss_epoch = float(np.mean([np.asarray(l) for l in losses])) \
+            if losses else 0.0
+        pred_all = [np.asarray(r)[:n] for r, n in pred_all]
 
         pred_all = np.concatenate(pred_all, 0)
         gt_all = np.concatenate(gt_all, 0)
@@ -206,7 +223,6 @@ class Engine:
 
         acc = compute_acc(mp, mg)
         dba = compute_dba_score(mp, mg)
-        loss_epoch /= max(num_batches, 1)
         print(f"Val top beam acc: {acc} DBA score: {dba:.4f}")
         self.logger.scalar("DBA_score_val/scenario_all", dba, self.cur_epoch)
         self.logger.scalar("curr_loss_val", loss_epoch, self.cur_epoch)
