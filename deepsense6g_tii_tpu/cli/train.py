@@ -14,7 +14,6 @@ import argparse
 import os
 from datetime import datetime
 
-import numpy as np
 
 
 def build_parser() -> argparse.ArgumentParser:

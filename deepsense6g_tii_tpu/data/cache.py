@@ -13,7 +13,7 @@ from __future__ import annotations
 import concurrent.futures as cf
 import json
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

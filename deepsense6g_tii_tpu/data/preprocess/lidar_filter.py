@@ -20,7 +20,7 @@ identical neighbors (ties broken by index may differ, distances identical).
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

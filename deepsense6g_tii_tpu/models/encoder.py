@@ -19,7 +19,7 @@ leading dim for all convolutions so the MXU sees (B*T)-sized batches.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

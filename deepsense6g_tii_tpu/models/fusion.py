@@ -19,7 +19,7 @@ x_fm*x_bm where x_bm is in reversed token order.  We reproduce exactly that.
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import flax.linen as nn
 import jax

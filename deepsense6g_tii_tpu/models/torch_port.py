@@ -14,7 +14,7 @@ a ``.pth`` file goes through ``torch.load`` only if torch is available.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

@@ -11,7 +11,7 @@ processes each contribute their local devices to the same mesh).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -77,21 +77,36 @@ def write_args(logdir: str, args: Dict) -> None:
 
 
 class ScalarLogger:
-    """TensorBoard-equivalent scalar stream: JSONL of (tag, step, value).
+    """Scalar stream: JSONL of (tag, step, value) + optional TensorBoard.
 
     The reference logs train/val loss, per-k accuracy, per-scenario DBA to
     a SummaryWriter (train2_seq.py:145-148,205-215); this writes the same
-    scalars to ``scalars.jsonl`` in the run dir.
+    scalars to ``scalars.jsonl`` in the run dir, and additionally to
+    TensorBoard event files when ``tensorboard=True`` (or env
+    DEEPSENSE_TENSORBOARD=1) and tensorflow is importable.
     """
 
-    def __init__(self, logdir: str):
+    def __init__(self, logdir: str, tensorboard: Optional[bool] = None):
         os.makedirs(logdir, exist_ok=True)
         self._f = open(os.path.join(logdir, "scalars.jsonl"), "a")
+        self._tb = None
+        if tensorboard is None:
+            tensorboard = bool(os.environ.get("DEEPSENSE_TENSORBOARD"))
+        if tensorboard:
+            try:
+                import tensorflow as tf
+                self._tb = tf.summary.create_file_writer(logdir)
+            except ImportError:
+                pass
 
     def scalar(self, tag: str, value, step: int) -> None:
         self._f.write(json.dumps(
             {"tag": tag, "step": int(step), "value": float(value)}) + "\n")
         self._f.flush()
+        if self._tb is not None:
+            import tensorflow as tf
+            with self._tb.as_default():
+                tf.summary.scalar(tag, float(value), step=int(step))
 
     def scalars(self, tag: str, values: Dict[str, Any], step: int) -> None:
         for k, v in values.items():
@@ -99,3 +114,5 @@ class ScalarLogger:
 
     def close(self) -> None:
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()
