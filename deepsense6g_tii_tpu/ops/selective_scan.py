@@ -114,7 +114,7 @@ def _doubling_scan(a: jnp.ndarray, b: jnp.ndarray):
     return a, b
 
 
-SEG = 16   # segment width of the two-level in-chunk scan
+SEG = 8    # segment width of the two-level in-chunk scan (A/B-tuned on v5e)
 
 
 def _shift_down_ax(x: jnp.ndarray, s: int, fill: float, axis: int):
