@@ -103,7 +103,8 @@ def make_train_step(model, cfg: GlobalConfig, tx,
 def make_eval_step(model, cfg: GlobalConfig,
                    loss_name: str = "focal",
                    temp_coef: bool = True,
-                   use_ema: bool = False):
+                   use_ema: bool = False,
+                   rng_seed: int = 100):
     """Returns jitted (state, batch) -> metrics (loss, ranks, confidence).
 
     With ``use_ema`` the EMA shadow weights are applied for the forward,
@@ -112,13 +113,21 @@ def make_eval_step(model, cfg: GlobalConfig,
     the state, no copying.
     """
 
+    base_rng = jax.random.PRNGKey(rng_seed)
+
     @jax.jit
     def eval_step(state: TrainState, batch):
         params = state.ema_params if use_ema else state.params
         variables = {"params": params, "batch_stats": state.batch_stats}
+        rngs = None
+        if cfg.modality_missing is not None \
+                and cfg.modality_missing_type == "randlike":
+            # randlike missing substitutes random tensors at eval too
+            # (mambafuser_seq.py:361-391 under --Val)
+            rngs = {"missing": jax.random.fold_in(base_rng, state.step)}
         logits = model.apply(variables, *_model_inputs(batch),
                              rebuild_feats=batch.get("rebuild_feats"),
-                             train=False)
+                             train=False, rngs=rngs)
         out = {
             "ranks": jnp.argsort(logits, axis=-1, descending=True),
             "confidence": jax.nn.softmax(
