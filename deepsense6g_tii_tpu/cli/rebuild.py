@@ -132,6 +132,33 @@ def main(argv=None) -> int:
         return {k: jnp.asarray(v) for k, v in batch.items()
                 if k != "scenario"}
 
+    def run_validation():
+        preds, gts, scens = [], [], []
+        for batch in val_loader:
+            m = trainer.eval_step(state, to_dev(batch))
+            preds.append(np.asarray(m["ranks"]))
+            gts.append(np.asarray(batch["beamidx"]))
+            scens.append(np.asarray(batch["scenario"]))
+        preds_a = np.concatenate(preds)
+        gts_a = np.concatenate(gts)
+        scens_a = np.concatenate(scens)
+        for s in SCENARIOS:
+            mask = scens_a == s
+            if mask.sum():
+                print(s, "acc:", compute_acc(preds_a[mask], gts_a[mask]),
+                      "DBA:", compute_dba_score(preds_a[mask], gts_a[mask]))
+        return compute_dba_score(preds_a, gts_a)
+
+    if args.Val:
+        # eval-only: rebuilt-feature injection with loaded heads
+        # (train_image_radar_lidar_rebuild.py:730-736, args.Val branch)
+        if args.load_model_dir:
+            state = load_rebuild_state(args.load_model_dir, state, best=True)
+        dba = run_validation()
+        print("Val DBA:", dba)
+        print("Val finish")
+        return 0
+
     for epoch in range(args.epochs):
         lr = reference_recipe_lr(epoch, args.lr) if args.scheduler else args.lr
         print("epoch:", epoch, "lr:", lr)
@@ -150,21 +177,7 @@ def main(argv=None) -> int:
             continue
 
         # validation with rebuilt-feature injection
-        preds, gts, scens = [], [], []
-        for batch in val_loader:
-            m = trainer.eval_step(state, to_dev(batch))
-            preds.append(np.asarray(m["ranks"]))
-            gts.append(np.asarray(batch["beamidx"]))
-            scens.append(np.asarray(batch["scenario"]))
-        preds = np.concatenate(preds)
-        gts = np.concatenate(gts)
-        scens = np.concatenate(scens)
-        for s in SCENARIOS:
-            mask = scens == s
-            if mask.sum():
-                print(s, "acc:", compute_acc(preds[mask], gts[mask]),
-                      "DBA:", compute_dba_score(preds[mask], gts[mask]))
-        dba = compute_dba_score(preds, gts)
+        dba = run_validation()
         dbas.append(dba)
         print("Val DBA:", dba)
         logger.scalar("DBA_score_val/scenario_all", dba, epoch + 1)
