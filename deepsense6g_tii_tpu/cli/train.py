@@ -65,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--multihost", type=int, default=0,
                    help="jax.distributed.initialize() for multi-host DCN "
                         "training; same code, bigger ('data',) mesh")
+    p.add_argument("--load_torch_checkpoint", type=str, default=None,
+                   help="import a reference .pth (best_model.pth/"
+                        "final_model.pth) into the model before running")
     return p
 
 
@@ -135,6 +138,21 @@ def main(argv=None) -> int:
     engine = Engine(model, cfg, opts)
     ckpt.write_args(logdir, vars(args))
 
+    def maybe_import_torch_weights():
+        if not args.load_torch_checkpoint:
+            return
+        import jax
+        from ..models.checkpoint_import import load_reference_checkpoint
+        params, stats, unused = load_reference_checkpoint(
+            args.load_torch_checkpoint, cfg)
+        if unused:
+            print(f"======WARNING: {len(unused)} unused torch keys, e.g. "
+                  f"{sorted(unused)[:3]}")
+        engine.state = engine.state.replace(
+            params=params, batch_stats=stats,
+            ema_params=jax.tree_util.tree_map(lambda x: x, params))
+        print("======imported torch checkpoint", args.load_torch_checkpoint)
+
     if args.Test:
         test_root = data_root + "/Multi_Modal_Test/"
         test_set = BeamDataset(test_root, "ml_challenge_test_multi_modal.csv",
@@ -149,6 +167,7 @@ def main(argv=None) -> int:
             engine.load_weights(name.replace(".msgpack", ""), logdir=d)
         elif engine.resume():
             engine.load_weights("best_model")
+        maybe_import_torch_weights()
         engine.test(loader)
         print("Test finish")
         return 0
@@ -180,6 +199,7 @@ def main(argv=None) -> int:
         if args.load_model_path:
             d, name = os.path.split(args.load_model_path)
             engine.load_weights(name.replace(".msgpack", ""), logdir=d)
+        maybe_import_torch_weights()
         engine.validate(val_loader)
         print("Val finish")
         return 0
@@ -194,6 +214,9 @@ def main(argv=None) -> int:
         except FileNotFoundError:
             engine.load_weights("final_model")
 
+    if args.load_torch_checkpoint and engine.state is None:
+        engine.init_state(next(iter(DataLoader(train_set, 1))))
+    maybe_import_torch_weights()
     for epoch in range(engine.cur_epoch, args.epochs):
         print("epoch:", epoch, "lr:", engine._lr())
         engine.train(train_loader)
