@@ -17,6 +17,18 @@ import numpy as np
 _COLLATE_KEYS = ("image", "lidar", "radar", "gps", "beam", "beamidx")
 
 
+_WORKER_DATASET = None
+
+
+def _init_worker(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _getitem(i: int):
+    return _WORKER_DATASET[i]
+
+
 def collate(samples) -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     for k in _COLLATE_KEYS:
@@ -37,7 +49,8 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  num_workers: int = 8, drop_last: bool = False,
-                 seed: int = 100, prefetch: int = 4):
+                 seed: int = 100, prefetch: int = 4,
+                 use_processes: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -45,6 +58,10 @@ class DataLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
+        # GIL-bound decode (JPEG+PLY parsing) parallelizes poorly on
+        # threads; process workers match the reference's 8-fork DataLoader
+        # for the cold (non-cached) path. The dataset must be picklable.
+        self.use_processes = use_processes
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -64,13 +81,20 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         self.epoch += 1
-        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+        if self.use_processes:
+            pool = cf.ProcessPoolExecutor(self.num_workers,
+                                          initializer=_init_worker,
+                                          initargs=(self.dataset,))
+        else:
+            pool = cf.ThreadPoolExecutor(self.num_workers)
+        with pool:
             batch_iter = self._batches()
 
             def submit_batch(indices):
-                futures = [pool.submit(self.dataset.__getitem__, int(i))
-                           for i in indices]
-                return futures
+                if self.use_processes:
+                    return [pool.submit(_getitem, int(i)) for i in indices]
+                return [pool.submit(self.dataset.__getitem__, int(i))
+                        for i in indices]
 
             inflight = []
             for _ in range(self.prefetch):
