@@ -135,42 +135,45 @@ def _shift_up_ax(x: jnp.ndarray, s: int, fill: float, axis: int):
     return jnp.concatenate([x[tuple(idx)], pad], axis=axis)
 
 
-def _segmented_scan(a: jnp.ndarray, b: jnp.ndarray):
-    """Two-level inclusive scan: same contract as ``_doubling_scan`` but with
-    log2(SEG) + log2(T/SEG) doubling steps instead of log2(T) — the
-    segment-level pass runs on arrays 1/SEG the size, cutting dense VPU
-    passes ~1.5x for T=128, SEG=16."""
-    T = a.shape[0]
+def _chunk_scan(a1, bb, h_in):
+    """All in-chunk states from per-step decays a1, updates bb, entry state.
+
+    The entry state folds into the *segment-level* prefix (arrays 1/SEG the
+    size), so the full-size cumulative-decay product never materializes —
+    3 fewer dense (BL, n, BD) passes than scan-then-combine.
+    """
+    T = a1.shape[0]
     if T <= SEG:
-        return _doubling_scan(a, b)
+        a_cum, h_rel = _doubling_scan(a1, bb)
+        return h_rel + a_cum * h_in[None]
     G = T // SEG
-    a4 = a.reshape((G, SEG) + a.shape[1:])
-    b4 = b.reshape((G, SEG) + b.shape[1:])
+    a4 = a1.reshape((G, SEG) + a1.shape[1:])
+    b4 = bb.reshape((G, SEG) + bb.shape[1:])
     s = 1
     while s < SEG:
         b4 = b4 + a4 * _shift_down_ax(b4, s, 0.0, axis=1)
         a4 = a4 * _shift_down_ax(a4, s, 1.0, axis=1)
         s *= 2
-    # segment summaries -> exclusive prefix over segments (tiny arrays)
-    aa, bb = a4[:, SEG - 1], b4[:, SEG - 1]
+    aa, bb_seg = a4[:, SEG - 1], b4[:, SEG - 1]
     s = 1
     while s < G:
-        bb = bb + aa * _shift_down_ax(bb, s, 0.0, axis=0)
+        bb_seg = bb_seg + aa * _shift_down_ax(bb_seg, s, 0.0, axis=0)
         aa = aa * _shift_down_ax(aa, s, 1.0, axis=0)
         s *= 2
-    h_in_seg = _shift_down_ax(bb, 1, 0.0, axis=0)[:, None]   # (G, 1, ...)
-    a_in_seg = _shift_down_ax(aa, 1, 1.0, axis=0)[:, None]
-    h = b4 + a4 * h_in_seg
-    a_cum = a4 * a_in_seg
-    return (a_cum.reshape((T,) + a.shape[1:]),
-            h.reshape((T,) + b.shape[1:]))
+    # segment-entry states including the chunk-entry state (tiny arrays)
+    h_in_seg = (_shift_down_ax(bb_seg, 1, 0.0, axis=0)
+                + _shift_down_ax(aa, 1, 1.0, axis=0) * h_in[None])
+    h = b4 + a4 * h_in_seg[:, None]
+    return h.reshape((T,) + bb.shape[1:])
 
 
-def _segmented_scan_rev(a: jnp.ndarray, b: jnp.ndarray):
-    """Two-level version of ``_doubling_scan_rev`` (suffix scan)."""
+def _chunk_scan_rev(a, b, g_in):
+    """Reverse counterpart: g[t] = b[t] + a[t] g[t+1] with g[T] = g_in,
+    entry state folded at segment level."""
     T = a.shape[0]
     if T <= SEG:
-        return _doubling_scan_rev(a, b)
+        a_cum, g_rel = _doubling_scan_rev(a, b)
+        return g_rel + a_cum * g_in[None]
     G = T // SEG
     a4 = a.reshape((G, SEG) + a.shape[1:])
     b4 = b.reshape((G, SEG) + b.shape[1:])
@@ -179,24 +182,16 @@ def _segmented_scan_rev(a: jnp.ndarray, b: jnp.ndarray):
         b4 = b4 + a4 * _shift_up_ax(b4, s, 0.0, axis=1)
         a4 = a4 * _shift_up_ax(a4, s, 1.0, axis=1)
         s *= 2
-    aa, bb = a4[:, 0], b4[:, 0]
+    aa, bb_seg = a4[:, 0], b4[:, 0]
     s = 1
     while s < G:
-        bb = bb + aa * _shift_up_ax(bb, s, 0.0, axis=0)
+        bb_seg = bb_seg + aa * _shift_up_ax(bb_seg, s, 0.0, axis=0)
         aa = aa * _shift_up_ax(aa, s, 1.0, axis=0)
         s *= 2
-    g_in_seg = _shift_up_ax(bb, 1, 0.0, axis=0)[:, None]
-    a_in_seg = _shift_up_ax(aa, 1, 1.0, axis=0)[:, None]
-    g = b4 + a4 * g_in_seg
-    a_cum = a4 * a_in_seg
-    return (a_cum.reshape((T,) + a.shape[1:]),
-            g.reshape((T,) + b.shape[1:]))
-
-
-def _chunk_scan(a1, bb, h_in):
-    """All in-chunk states from per-step decays a1, updates bb, entry state."""
-    a_cum, h_rel = _segmented_scan(a1, bb)
-    return h_rel + a_cum * h_in[None]
+    g_in_seg = (_shift_up_ax(bb_seg, 1, 0.0, axis=0)
+                + _shift_up_ax(aa, 1, 1.0, axis=0) * g_in[None])
+    g = b4 + a4 * g_in_seg[:, None]
+    return g.reshape((T,) + b.shape[1:])
 
 
 # ---------------------------------------------------------------------------
@@ -326,8 +321,7 @@ def _bwd_kernel_chunked(u_ref, dt_ref, b_ref, c_ref, at_ref, hin_ref, dy_ref,
     # G = a1[first of later chunk] * g[first of later chunk]
     q = Cv[:, :, None] * dy[:, None, :]                    # (BL, n, BD)
     a_up = _shift_up(a1, 1, 1.0)                           # a_up[t] = a1[t+1]
-    a_cum, g_rel = _segmented_scan_rev(a_up, q)
-    g = g_rel + a_cum * g_scr[...][None]                   # (BL, n, BD)
+    g = _chunk_scan_rev(a_up, q, g_scr[...])               # (BL, n, BD)
     g_scr[...] = a1[0] * g[0]                              # carry for chunk-1
 
     gb = jnp.sum(g * Bv[:, :, None], axis=1)               # (BL, BD)
