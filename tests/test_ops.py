@@ -144,3 +144,50 @@ class TestPooling:
     def test_indivisible_raises(self):
         with pytest.raises(ValueError):
             adaptive_avg_pool(jnp.zeros((1, 10, 10, 1)), 8, 8)
+
+
+class TestMambaLayerNumericOracle:
+    def test_full_layer_matches_numpy_reference(self, rng):
+        """End-to-end oracle: the Flax Mamba layer vs a step-by-step NumPy
+        implementation of mamba_ssm semantics (in_proj -> causal depthwise
+        conv -> silu -> x_proj -> softplus dt -> recurrence -> D skip ->
+        silu(z) gate -> out_proj)."""
+        d_model, d_state, d_conv, L = 16, 4, 4, 12
+        m = Mamba(d_model=d_model, d_state=d_state, d_conv=d_conv,
+                  use_pallas=False)
+        x = rng.normal(size=(1, L, d_model)).astype(np.float32)
+        variables = m.init(jax.random.PRNGKey(3), jnp.asarray(x))
+        got = np.asarray(m.apply(variables, jnp.asarray(x)))[0]
+
+        p = jax.tree_util.tree_map(np.asarray, variables["params"])
+        d_inner = 2 * d_model
+        dt_rank = int(np.ceil(d_model / 16))
+
+        def silu(v):
+            return v / (1 + np.exp(-v))
+
+        xz = x[0] @ p["in_proj"]["kernel"]          # (L, 2*d_inner)
+        xs, z = xz[:, :d_inner], xz[:, d_inner:]
+        # causal depthwise conv, left pad d_conv-1
+        w = p["conv1d_weight"][:, 0, :]             # (d_conv, d_inner)
+        padded = np.vstack([np.zeros((d_conv - 1, d_inner)), xs])
+        conv = np.stack([
+            sum(padded[t + k] * w[k] for k in range(d_conv))
+            for t in range(L)]) + p["conv1d_bias"]
+        xs = silu(conv)
+        dbc = xs @ p["x_proj"]["kernel"]
+        dt = np.log1p(np.exp(dbc[:, :dt_rank] @ p["dt_proj_weight"]
+                             + p["dt_proj_bias"]))
+        Bv = dbc[:, dt_rank:dt_rank + d_state]
+        Cv = dbc[:, dt_rank + d_state:]
+        A = -np.exp(p["A_log"])                     # (d_inner, d_state)
+        h = np.zeros((d_inner, d_state))
+        ys = []
+        for t in range(L):
+            h = np.exp(dt[t][:, None] * A) * h \
+                + (dt[t] * xs[t])[:, None] * Bv[t][None]
+            ys.append(h @ Cv[t])
+        y = np.stack(ys) + p["D"] * xs
+        y = y * silu(z)
+        want = y @ p["out_proj"]["kernel"]
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
