@@ -185,6 +185,15 @@ class RebuildTrainer:
             n, hw, c = s2t.shape
             side = int(np.sqrt(hw))
             rebuild = s2t.reshape(n, side, side, c)
+            # Fusion forward in EVAL mode (frozen BN stats).  The reference's
+            # mode handling is accidental: validate() calls .eval() on the
+            # fusion model and heads and nothing restores .train()
+            # (train_image_radar_lidar_rebuild.py:447-451 vs 292-294), so the
+            # reference runs train-mode only during epoch 0 and eval mode for
+            # every later epoch.  Eval mode is also the only coherent choice
+            # here: the stage-1 features are the translation *targets*, and
+            # letting the fusion BN stats move would shift those targets
+            # under the translator every step.
             logits = self.fusion_model.apply(
                 fusion_vars, batch["image"], batch["lidar"], batch["radar"],
                 batch["gps"], rebuild_feats=rebuild, train=False, rngs=rngs)
