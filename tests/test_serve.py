@@ -1,0 +1,60 @@
+"""Serving front-end tests: checkpoint loading, bucket padding, 1-indexed
+top-k output, latency self-benchmark."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from deepsense6g_tii_tpu.config import GlobalConfig
+from deepsense6g_tii_tpu.serve import Predictor
+
+CFG = GlobalConfig(seq_len=2, n_layer=1, use_pallas_scan=False,
+                   compute_dtype="float32")
+
+
+def _inputs(n, T=2, rc=2):
+    return (np.zeros((n, T, 256, 256, 3), np.float32),
+            np.zeros((n, T, 256, 256, 1), np.float32),
+            np.zeros((n, T, 256, 256, rc), np.float32),
+            np.zeros((n, 2, 2), np.float32))
+
+
+@pytest.fixture(scope="module")
+def predictor(tmp_path_factory):
+    import flax.serialization
+    from deepsense6g_tii_tpu.models.fuser import BeamFuser
+    model = BeamFuser(CFG)
+    inp = _inputs(1)
+    v = model.init(jax.random.PRNGKey(0), *[np.asarray(x) for x in inp])
+    path = tmp_path_factory.mktemp("ckpt") / "best_model.msgpack"
+    with open(path, "wb") as f:
+        f.write(flax.serialization.to_bytes(
+            jax.tree_util.tree_map(np.asarray, v)))
+    return Predictor.from_msgpack(str(path), CFG, batch_buckets=(1, 4))
+
+
+class TestPredictor:
+    def test_topk_one_indexed(self, predictor):
+        beams, conf = predictor.predict(*_inputs(1))
+        assert beams.shape == (1, 3)
+        assert (1 <= beams).all() and (beams <= 64).all()
+        assert 0.0 < conf[0] < 1.0
+
+    def test_ragged_batch_padding(self, predictor):
+        beams, conf = predictor.predict(*_inputs(3))   # pads to bucket 4
+        assert beams.shape == (3, 3) and conf.shape == (3,)
+
+    def test_batch_matches_single(self, predictor):
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 255, (4, 2, 256, 256, 3)).astype(np.float32)
+        rest = _inputs(4)[1:]
+        b_all, _ = predictor.predict(img, *rest)
+        b_one, _ = predictor.predict(img[:1], rest[0][:1], rest[1][:1],
+                                     rest[2][:1])
+        np.testing.assert_array_equal(b_all[0], b_one[0])
+
+    def test_latency_benchmark(self, predictor):
+        stats = predictor.latency_benchmark(batch=1, iters=3)
+        assert stats["p50_ms"] > 0 and stats["p90_ms"] >= stats["p50_ms"]
