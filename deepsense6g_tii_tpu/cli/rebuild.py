@@ -46,8 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--load_model_dir", type=str, default=None)
     p.add_argument("--fusion_model_path", type=str, default=None,
                    help="pretrained fuser checkpoint (.msgpack)")
-    p.add_argument("--temp", type=float, default=0.1)
-    p.add_argument("--alpha_pred", type=float, default=0.5)
+    p.add_argument("--temp", type=float, default=0.1,
+                   help="NT-Xent contrastive temperature")
+    p.add_argument("--alpha_pred", type=float, default=0.5,
+                   help="accepted for reference CLI compatibility; unused "
+                        "(the reference parses but never reads it, "
+                        "train_image_radar_lidar_rebuild.py:644)")
     p.add_argument("--alpha_trans", type=float, default=1.0)
     p.add_argument("--alpha_contrast", type=float, default=1.0)
     p.add_argument("--alpha_distance", type=float, default=1.0)
@@ -108,7 +112,7 @@ def main(argv=None) -> int:
         source_domain=tuple(args.source_domain), target_domain=target,
         alpha_trans=args.alpha_trans, alpha_contrast=args.alpha_contrast,
         alpha_distance=args.alpha_distance, alpha_fusion=args.alpha_fusion,
-        lr=args.lr)
+        temp=args.temp, lr=args.lr)
     trainer = RebuildTrainer(model, cfg, opts)
 
     first = next(iter(DataLoader(train_set, 1)))

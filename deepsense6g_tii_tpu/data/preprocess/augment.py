@@ -21,7 +21,7 @@ import os
 from typing import Optional
 
 import numpy as np
-from PIL import Image, ImageEnhance, ImageFilter
+from PIL import Image, ImageEnhance
 
 from ...utils import ply
 from .. import features as F
@@ -41,15 +41,50 @@ def adjust_hue(img: Image.Image, hue_factor: float) -> Image.Image:
     return Image.merge("HSV", (h, s, v)).convert("RGB")
 
 
+def _gaussian_kernel1d(size: int, sigma: float) -> np.ndarray:
+    """torchvision _get_gaussian_kernel1d: normalized Gaussian pdf sampled at
+    linspace(-(size-1)/2, (size-1)/2, size)."""
+    x = np.linspace(-(size - 1) * 0.5, (size - 1) * 0.5, size)
+    pdf = np.exp(-0.5 * (x / sigma) ** 2)
+    return (pdf / pdf.sum()).astype(np.float32)
+
+
+def gaussian_blur(img: Image.Image, kernel_size=(9, 7),
+                  sigma=(3.0, 5.0)) -> Image.Image:
+    """torchvision.transforms.functional.gaussian_blur semantics
+    (Image_data_augmentation.py:46-50): kernel_size=(kx, ky), sigma=
+    (sigma_x, sigma_y), separable conv with reflect padding, rounded and
+    clamped back to uint8 — NOT PIL's isotropic GaussianBlur filter."""
+    kx = _gaussian_kernel1d(kernel_size[0], sigma[0])
+    ky = _gaussian_kernel1d(kernel_size[1], sigma[1])
+    arr = np.asarray(img, dtype=np.float32)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    px, py = kernel_size[0] // 2, kernel_size[1] // 2
+    arr = np.pad(arr, ((py, py), (px, px), (0, 0)), mode="reflect")
+    # separable: convolve height (y) then width (x)
+    arr = np.einsum("k,khwc->hwc", ky, np.stack(
+        [arr[i:i + arr.shape[0] - 2 * py] for i in range(kernel_size[1])]))
+    arr = np.einsum("k,hkwc->hwc", kx, np.stack(
+        [arr[:, i:i + arr.shape[1] - 2 * px] for i in range(kernel_size[0])],
+        axis=1))
+    out = np.clip(np.round(arr), 0, 255).astype(np.uint8)
+    return Image.fromarray(out.squeeze() if out.shape[-1] == 1 else out)
+
+
 def augment_image(img: Image.Image, rng: np.random.Generator):
-    """Yields the 7 augmented variants in reference order."""
+    """Yields the 7 augmented variants in reference order
+    (Image_data_augmentation.py:16-50).  The enhance factors are passed
+    through unmapped — torchvision's PIL paths ARE PIL ImageEnhance
+    (torchvision _functional_pil), so the factor distributions match the
+    reference exactly."""
     yield ImageEnhance.Brightness(img).enhance(rng.uniform(0.5, 3))
     yield ImageEnhance.Contrast(img).enhance(rng.uniform(0.5, 4))
     yield adjust_gamma(img, rng.uniform(0.5, 3))
     yield adjust_hue(img, rng.uniform(-0.5, 0.5))
     yield ImageEnhance.Color(img).enhance(rng.uniform(0, 4))
-    yield ImageEnhance.Sharpness(img).enhance(rng.uniform(0, 10) / 2 + 0.5)
-    yield img.filter(ImageFilter.GaussianBlur(radius=4))
+    yield ImageEnhance.Sharpness(img).enhance(rng.uniform(0, 10))
+    yield gaussian_blur(img, kernel_size=(9, 7), sigma=(3.0, 5.0))
 
 
 def augment_image_dir(src_dir: str, dst_dir: str, seed: int = 0) -> int:

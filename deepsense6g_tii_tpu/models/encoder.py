@@ -155,9 +155,14 @@ class FusionEncoder(nn.Module):
                  rebuild_feats: Optional[jnp.ndarray] = None,
                  train: bool = False,
                  return_stage1: bool = False,
-                 apply_missing: bool = True):
+                 apply_missing: bool = True,
+                 sample_mask: Optional[jnp.ndarray] = None):
         """image: (B, T, H, W, 3) in [0, 255]; lidar: (B, T, H, W, 1);
         radar: (B, T, H, W, 1|2); gps: (B, gps_len, 2).
+
+        ``sample_mask`` ((B,), 1.0 real / 0.0 padded) excludes engine-padded
+        rows from the BatchNorm batch statistics so a padded ragged batch
+        computes exactly the unpadded batch's gradients.
 
         Returns (B, 512) fused features (or also the three stage-1 feature
         maps when ``return_stage1`` — the rebuild subsystem taps them).
@@ -165,6 +170,10 @@ class FusionEncoder(nn.Module):
         cfg = self.config
         B, T = image.shape[:2]
         dtype = jnp.dtype(cfg.compute_dtype)
+        bn_mask = None
+        if sample_mask is not None:
+            bn_mask = jnp.repeat(sample_mask.astype(bool), T)[
+                :, None, None, None]
 
         image = normalize_imagenet(image.astype(jnp.float32))
         lidar = lidar.astype(jnp.float32)
@@ -178,7 +187,7 @@ class FusionEncoder(nn.Module):
 
         backbones = (self.image_backbone, self.lidar_backbone,
                      self.radar_backbone)
-        feats = [bb.stage1(bb.stem(x, train), train)
+        feats = [bb.stage1(bb.stem(x, train, bn_mask), train, bn_mask)
                  for bb, x in zip(backbones, (image, lidar, radar))]
 
         feats = self._inject_rebuild(feats, rebuild_feats, train)
@@ -199,7 +208,7 @@ class FusionEncoder(nn.Module):
                 outs = [interpolate_bilinear(o, STAGE_UPSAMPLE[i]) for o in outs]
             feats = [f + o.astype(f.dtype) for f, o in zip(feats, outs)]
             if i < 3:
-                feats = [getattr(bb, f"stage{i + 2}")(f, train)
+                feats = [getattr(bb, f"stage{i + 2}")(f, train, bn_mask)
                          for bb, f in zip(backbones, feats)]
 
         tracks = [_unflatten_bt(global_avg_pool(f), B).astype(jnp.float32)

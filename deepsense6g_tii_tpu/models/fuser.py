@@ -45,11 +45,14 @@ class BeamFuser(nn.Module):
 
     def __call__(self, image, lidar, radar, gps,
                  rebuild_feats: Optional[jnp.ndarray] = None,
-                 train: bool = False):
+                 train: bool = False,
+                 sample_mask: Optional[jnp.ndarray] = None):
         """Returns (B, num_beams) logits, or (B, pred_len, num_beams) when
-        pred_len > 1."""
+        pred_len > 1.  ``sample_mask`` masks engine-padded rows out of the
+        BatchNorm statistics (see FusionEncoder)."""
         fused = self.encoder(image, lidar, radar, gps,
-                             rebuild_feats=rebuild_feats, train=train)
+                             rebuild_feats=rebuild_feats, train=train,
+                             sample_mask=sample_mask)
         z = self._join(fused.astype(jnp.float32))
         if self.config.pred_len <= 1:
             return z

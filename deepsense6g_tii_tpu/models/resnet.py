@@ -30,18 +30,20 @@ class BasicBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         residual = x
         y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
                     padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
                     name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=self.dtype, name="bn1")(y)
+                         epsilon=BN_EPS, dtype=self.dtype, name="bn1")(
+                             y, mask=mask)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False, dtype=self.dtype, name="conv2")(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=self.dtype, name="bn2")(y)
+                         epsilon=BN_EPS, dtype=self.dtype, name="bn2")(
+                             y, mask=mask)
         if self.stride != 1 or x.shape[-1] != self.features:
             residual = nn.Conv(self.features, (1, 1),
                                strides=(self.stride, self.stride),
@@ -50,7 +52,7 @@ class BasicBlock(nn.Module):
             residual = nn.BatchNorm(use_running_average=not train,
                                     momentum=BN_MOMENTUM, epsilon=BN_EPS,
                                     dtype=self.dtype,
-                                    name="downsample_bn")(residual)
+                                    name="downsample_bn")(residual, mask=mask)
         return nn.relu(y + residual)
 
 
@@ -60,11 +62,12 @@ class ResNetStem(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=self.dtype, name="bn1")(x)
+                         epsilon=BN_EPS, dtype=self.dtype, name="bn1")(
+                             x, mask=mask)
         x = nn.relu(x)
         return max_pool_3x3s2(x)
 
@@ -76,10 +79,10 @@ class ResNetStage(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         for i in range(self.num_blocks):
             x = BasicBlock(self.features, self.stride if i == 0 else 1,
-                           dtype=self.dtype, name=f"block{i}")(x, train)
+                           dtype=self.dtype, name=f"block{i}")(x, train, mask)
         return x
 
 
@@ -107,9 +110,15 @@ class ResNetBackbone(nn.Module):
         self.stage4 = ResNetStage(STAGE_FEATURES[3], self.blocks[3],
                                   STAGE_STRIDES[3], dtype=self.dtype)
 
-    def __call__(self, x, train: bool = False):
-        """Full backbone pass (used for weight-port validation)."""
-        x = self.stem(x, train)
+    def __call__(self, x, train: bool = False, mask=None):
+        """Full backbone pass (used for weight-port validation).
+
+        ``mask`` ((N, 1, 1, 1) bool, broadcastable to x) excludes padded rows
+        from the BatchNorm batch statistics — ragged final batches are padded
+        up to the mesh size by the engine, and without the mask the duplicate
+        rows would perturb the normalization of the real rows (the reference
+        trains on exact ragged batches, train2_seq.py:94-156)."""
+        x = self.stem(x, train, mask)
         for stage in (self.stage1, self.stage2, self.stage3, self.stage4):
-            x = stage(x, train)
+            x = stage(x, train, mask)
         return x

@@ -79,6 +79,7 @@ class RebuildOptions:
     alpha_contrast: float = 1.0
     alpha_distance: float = 1.0
     alpha_fusion: float = 1.0
+    temp: float = 0.1                 # NT-Xent temperature (--temp)
     lr: float = 1e-4
     fusion_lr: float = 1e-6
     weight_decay: float = 1e-4
@@ -176,7 +177,8 @@ class RebuildTrainer:
             spec = {m: p[..., p.shape[-1] // 2:] for m, p in proj.items()}
             pairs = (("image", "lidar"), ("image", "radar"),
                      ("lidar", "radar"))
-            l_con = sum(contrastive_loss(shared[a], shared[b], cfg.seq_len)
+            l_con = sum(contrastive_loss(shared[a], shared[b], cfg.seq_len,
+                                         temperature=opts.temp)
                         for a, b in pairs) / 3.0
             l_dis = sum(distance_loss(spec[a], spec[b])
                         for a, b in pairs) / 3.0

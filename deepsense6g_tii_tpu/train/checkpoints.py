@@ -77,13 +77,14 @@ def write_args(logdir: str, args: Dict) -> None:
 
 
 class ScalarLogger:
-    """Scalar stream: JSONL of (tag, step, value) + optional TensorBoard.
+    """Scalar stream: JSONL of (tag, step, value) + TensorBoard event files.
 
     The reference logs train/val loss, per-k accuracy, per-scenario DBA to
-    a SummaryWriter (train2_seq.py:145-148,205-215); this writes the same
-    scalars to ``scalars.jsonl`` in the run dir, and additionally to
-    TensorBoard event files when ``tensorboard=True`` (or env
-    DEEPSENSE_TENSORBOARD=1) and tensorflow is importable.
+    a SummaryWriter (train2_seq.py:70,145-148,205-215); this writes the same
+    scalars to ``scalars.jsonl`` (machine-friendly) and to a real
+    ``events.out.tfevents.*`` file in the run dir via the dependency-free
+    writer in utils/tb_events.py.  Pass ``tensorboard=False`` (or set
+    DEEPSENSE_TENSORBOARD=0) to skip the event file.
     """
 
     def __init__(self, logdir: str, tensorboard: Optional[bool] = None):
@@ -91,22 +92,17 @@ class ScalarLogger:
         self._f = open(os.path.join(logdir, "scalars.jsonl"), "a")
         self._tb = None
         if tensorboard is None:
-            tensorboard = bool(os.environ.get("DEEPSENSE_TENSORBOARD"))
+            tensorboard = os.environ.get("DEEPSENSE_TENSORBOARD", "1") != "0"
         if tensorboard:
-            try:
-                import tensorflow as tf
-                self._tb = tf.summary.create_file_writer(logdir)
-            except ImportError:
-                pass
+            from ..utils.tb_events import EventFileWriter
+            self._tb = EventFileWriter(logdir)
 
     def scalar(self, tag: str, value, step: int) -> None:
         self._f.write(json.dumps(
             {"tag": tag, "step": int(step), "value": float(value)}) + "\n")
         self._f.flush()
         if self._tb is not None:
-            import tensorflow as tf
-            with self._tb.as_default():
-                tf.summary.scalar(tag, float(value), step=int(step))
+            self._tb.scalar(tag, float(value), int(step))
 
     def scalars(self, tag: str, values: Dict[str, Any], step: int) -> None:
         for k, v in values.items():

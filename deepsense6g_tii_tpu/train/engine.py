@@ -109,8 +109,11 @@ class Engine:
 
     def _to_device(self, batch: Dict):
         """Shards the numeric fields over the mesh, padding ragged batches up
-        to a multiple of the device count (padded rows are sliced off the
-        returned metrics).  Returns (device_batch, n_valid)."""
+        to a multiple of the device count.  Padded rows carry a 0 in the
+        ``valid`` mask, which zeroes them out of the loss and the BatchNorm
+        batch statistics (the reference trains on exact ragged batches,
+        train2_seq.py:94-156); the returned metrics are sliced to n as well.
+        Returns (device_batch, n_valid)."""
         dev = {k: v for k, v in batch.items() if k in DEVICE_KEYS}
         n = next(iter(dev.values())).shape[0]
         n_dev = self.mesh.devices.size
@@ -119,6 +122,8 @@ class Engine:
             dev = {k: np.concatenate(
                 [np.asarray(v)] + [np.asarray(v[-1:])] * pad, axis=0)
                 for k, v in dev.items()}
+            dev["valid"] = np.concatenate(
+                [np.ones(n, np.float32), np.zeros(pad, np.float32)])
         return shard_batch(dev, self.mesh), n
 
     # -- epoch loops ---------------------------------------------------------

@@ -35,13 +35,17 @@ def _compute_loss(cfg: GlobalConfig, loss_name: str, temp_coef: bool,
     the per-class loss matches the 30to5 trainer (train2_seq_30to5.py:107-120).
     """
     target = batch["beam"] if temp_coef else batch["beamidx"]
+    weight = batch.get("valid")          # (B,) 1.0 real / 0.0 padded rows
     if logits.ndim == 3:
+        if weight is not None:
+            weight = jnp.repeat(weight, logits.shape[1])
         logits = logits.reshape(-1, logits.shape[-1])
         target = target.reshape((-1, target.shape[-1])
                                 if temp_coef else (-1,))
     if loss_name == "focal":
-        return focal_loss(logits, target, num_classes=cfg.num_beams)
-    return cross_entropy_loss(logits, target)
+        return focal_loss(logits, target, num_classes=cfg.num_beams,
+                          sample_weight=weight)
+    return cross_entropy_loss(logits, target, sample_weight=weight)
 
 
 def make_train_step(model, cfg: GlobalConfig, tx,
@@ -57,10 +61,13 @@ def make_train_step(model, cfg: GlobalConfig, tx,
 
     def loss_fn(params, batch_stats, batch, rngs):
         variables = {"params": params, "batch_stats": batch_stats}
+        # the mask kwarg is only threaded when the engine padded the batch,
+        # so unpadded steps keep their exact compiled program
+        mask_kw = ({"sample_mask": batch["valid"]} if "valid" in batch else {})
         (logits, aux) = model.apply(
             variables, *_model_inputs(batch),
             rebuild_feats=batch.get("rebuild_feats"),
-            train=True, rngs=rngs, mutable=["batch_stats"])
+            train=True, rngs=rngs, mutable=["batch_stats"], **mask_kw)
         loss = _compute_loss(cfg, loss_name, temp_coef, logits, batch)
         return loss, (logits, aux["batch_stats"])
 

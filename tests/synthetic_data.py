@@ -46,16 +46,20 @@ class TinyFuser(nn.Module):
 
     @nn.compact
     def __call__(self, image, lidar, radar, gps, rebuild_feats=None,
-                 train: bool = False):
+                 train: bool = False, sample_mask=None):
         del rebuild_feats
-        B = image.shape[0]
+        B, T = image.shape[:2]
+        bn_mask = None
+        if sample_mask is not None:
+            bn_mask = jnp.repeat(sample_mask.astype(bool), T)[
+                :, None, None, None]
 
         def enc(x, name):
             x = x.reshape((-1,) + x.shape[2:])
             x = nn.Conv(8, (7, 7), strides=(8, 8), name=name + "_c1")(x)
             x = nn.relu(x)
             x = nn.BatchNorm(use_running_average=not train,
-                             name=name + "_bn")(x)
+                             name=name + "_bn")(x, mask=bn_mask)
             x = nn.Conv(16, (3, 3), strides=(8, 8), name=name + "_c2")(x)
             return x.mean(axis=(1, 2)).reshape(B, -1)
 

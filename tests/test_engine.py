@@ -6,6 +6,7 @@ import json
 import os
 
 import numpy as np
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import pytest
@@ -169,3 +170,83 @@ class TestCsvFormat:
         ref_head = open("/root/reference/beam_pred.csv").readline().strip()
         assert got[0] == ref_head
         assert got[1] == "0,1,2,3"
+
+
+class TestPaddedBatchExactness:
+    """A ragged batch padded by the engine (duplicated last row + valid mask)
+    must produce exactly the unpadded batch's loss, gradients and BatchNorm
+    batch statistics — the reference trains on exact ragged batches
+    (train2_seq.py:94-156), so padding must not leak into the math."""
+
+    class _BNNet(nn.Module):
+        """Conv+BN+Dense, no dropout (dropout draws are shape-dependent and
+        would mask the comparison)."""
+
+        @nn.compact
+        def __call__(self, image, lidar, radar, gps, rebuild_feats=None,
+                     train: bool = False, sample_mask=None):
+            del rebuild_feats
+            B, T = image.shape[:2]
+            bn_mask = None
+            if sample_mask is not None:
+                bn_mask = jnp.repeat(sample_mask.astype(bool), T)[
+                    :, None, None, None]
+            x = image.reshape((-1,) + image.shape[2:]) / 255.0
+            x = nn.Conv(4, (8, 8), strides=(16, 16), name="c1")(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             name="bn")(x, mask=bn_mask)
+            x = nn.relu(x).mean(axis=(1, 2)).reshape(B, -1)
+            return nn.Dense(64, name="out")(x)
+
+    def _grads(self, model, variables, batch):
+        from deepsense6g_tii_tpu.train.steps import _compute_loss
+
+        def loss_fn(params):
+            logits, aux = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                batch["image"], batch["lidar"], batch["radar"], batch["gps"],
+                train=True, mutable=["batch_stats"],
+                sample_mask=batch.get("valid"))
+            return _compute_loss(CFG, "focal", True, logits, batch), \
+                aux["batch_stats"]
+
+        (loss, stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(variables["params"])
+        return float(loss), grads, jax.device_get(stats)
+
+    def test_padded_grads_equal_unpadded(self, rng):
+        model = self._BNNet()
+        exact = {k: jnp.asarray(v) for k, v in
+                 make_batch(rng, B=3).items() if k != "scenario"}
+        padded = {k: jnp.concatenate([v, v[-1:]], axis=0) for k, v in
+                  exact.items()}
+        padded["valid"] = jnp.array([1, 1, 1, 0], jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), exact["image"],
+                               exact["lidar"], exact["radar"], exact["gps"])
+
+        l_exact, g_exact, s_exact = self._grads(model, variables, exact)
+        l_pad, g_pad, s_pad = self._grads(model, variables, padded)
+        assert l_pad == pytest.approx(l_exact, rel=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g_exact),
+                        jax.tree_util.tree_leaves(g_pad)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+        for a, b in zip(jax.tree_util.tree_leaves(s_exact),
+                        jax.tree_util.tree_leaves(s_pad)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
+    def test_engine_attaches_valid_mask(self, tmp_path, rng):
+        opts = TrainOptions(logdir=str(tmp_path / "run"), scheduler=False)
+        os.makedirs(opts.logdir, exist_ok=True)
+        eng = Engine(TinyFuser(CFG), CFG, opts, mesh=make_mesh())
+        ragged = make_batch(rng, B=5)            # 8-device mesh -> pad 3
+        dev, n = eng._to_device(ragged)
+        assert n == 5 and "valid" in dev
+        np.testing.assert_array_equal(
+            np.asarray(dev["valid"]), [1, 1, 1, 1, 1, 0, 0, 0])
+        full = make_batch(rng, B=8)
+        dev_full, _ = eng._to_device(full)
+        assert "valid" not in dev_full
+        # the padded batch trains end-to-end through the jitted step
+        eng.train([ragged])

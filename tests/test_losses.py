@@ -55,3 +55,26 @@ class TestCrossEntropy:
         idx = jnp.asarray([0, 63])
         assert float(L.cross_entropy_loss(logits, idx)) == pytest.approx(
             np.log(64), rel=1e-6)
+
+
+class TestSampleWeight:
+    """Padded rows (weight 0) must contribute nothing to value or gradient."""
+
+    def test_weighted_equals_subset(self, rng):
+        logits = rng.normal(size=(5, 64)).astype(np.float32)
+        targets = rng.uniform(size=(5, 64)).astype(np.float32)
+        w = np.array([1, 1, 1, 0, 0], np.float32)
+        for fn in (L.sigmoid_focal_loss, L.cross_entropy_loss):
+            full = float(fn(jnp.asarray(logits[:3]), jnp.asarray(targets[:3])))
+            masked = float(fn(jnp.asarray(logits), jnp.asarray(targets),
+                              sample_weight=jnp.asarray(w)))
+            assert masked == pytest.approx(full, rel=1e-6)
+
+    def test_focal_integer_targets_weighted(self, rng):
+        logits = rng.normal(size=(4, 64)).astype(np.float32)
+        idx = rng.integers(0, 64, size=(4,)).astype(np.int32)
+        w = np.array([1, 1, 0, 0], np.float32)
+        full = float(L.focal_loss(jnp.asarray(logits[:2]), jnp.asarray(idx[:2])))
+        masked = float(L.focal_loss(jnp.asarray(logits), jnp.asarray(idx),
+                                    sample_weight=jnp.asarray(w)))
+        assert masked == pytest.approx(full, rel=1e-6)

@@ -234,3 +234,34 @@ class TestGraft:
         np.testing.assert_allclose(
             np.asarray(v2["params"]["encoder"]["lidar_encoder"]["stem"]["conv1"]["kernel"]),
             np.asarray(v["params"]["encoder"]["lidar_encoder"]["stem"]["conv1"]["kernel"]))
+
+
+class TestSampleMask:
+    def test_padded_train_forward_equals_unpadded(self, rng):
+        """sample_mask keeps engine-padded rows out of the BN batch stats:
+        the padded batch's real rows produce bit-identical train-mode logits
+        and batch_stats to the unpadded batch (dropout rates zeroed so the
+        only cross-sample coupling is BatchNorm)."""
+        cfg = SMALL.replace(embd_pdrop=0.0, resid_pdrop=0.0, attn_pdrop=0.0)
+        model = BeamFuser(cfg)
+        inp = [jnp.asarray(rng.uniform(0, 255, (2, 2, 256, 256, 3)).astype(np.float32)),
+               jnp.asarray(rng.uniform(0, 1, (2, 2, 256, 256, 1)).astype(np.float32)),
+               jnp.asarray(rng.uniform(0, 1, (2, 2, 256, 256, 2)).astype(np.float32))]
+        gps = jnp.asarray(rng.normal(size=(2, 2, 2)).astype(np.float32))
+        v = model.init(jax.random.PRNGKey(0), *inp, gps)
+
+        pad = [jnp.concatenate([x, x[-1:]], axis=0) for x in inp]
+        gps_pad = jnp.concatenate([gps, gps[-1:]], axis=0)
+        mask = jnp.array([1.0, 1.0, 0.0], jnp.float32)
+
+        exact, ex_stats = model.apply(v, *inp, gps, train=True,
+                                      mutable=["batch_stats"])
+        padded, pad_stats = model.apply(v, *pad, gps_pad, train=True,
+                                        mutable=["batch_stats"],
+                                        sample_mask=mask)
+        np.testing.assert_allclose(np.asarray(padded[:2]), np.asarray(exact),
+                                   rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(ex_stats),
+                        jax.tree_util.tree_leaves(pad_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)

@@ -170,3 +170,58 @@ class TestCsvBuilder:
             str(tmp_path / "dev.csv"), str(tmp_path / "scenario33"),
             "scenario33")
         assert n0 == 0
+
+
+class TestImageAugmentationParity:
+    """Exact torchvision parity for the two variants the VERDICT flagged:
+    sharpness U(0,10) unmapped, and anisotropic Gaussian blur (9,7)/(3,5)
+    (Image_data_augmentation.py:41-50)."""
+
+    def _img(self, rng, h=40, w=56):
+        return Image.fromarray(
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8), "RGB")
+
+    def test_gaussian_blur_matches_torch_oracle(self, rng):
+        """Oracle: raw torch conv2d replicating torchvision's tensor path
+        (_get_gaussian_kernel2d + reflect pad + round/clamp)."""
+        import torch
+        import torch.nn.functional as tF
+
+        img = self._img(rng)
+        got = np.asarray(augment.gaussian_blur(img, (9, 7), (3.0, 5.0)))
+
+        def k1d(size, sigma):
+            x = torch.linspace(-(size - 1) * 0.5, (size - 1) * 0.5, size)
+            pdf = torch.exp(-0.5 * (x / sigma) ** 2)
+            return pdf / pdf.sum()
+
+        kx, ky = k1d(9, 3.0), k1d(7, 5.0)
+        kernel2d = torch.mm(ky[:, None], kx[None, :])      # (7, 9)
+        t = torch.from_numpy(np.asarray(img)).permute(2, 0, 1).float()[None]
+        t = tF.pad(t, [4, 4, 3, 3], mode="reflect")
+        out = tF.conv2d(t, kernel2d.expand(3, 1, 7, 9), groups=3)
+        want = torch.clamp(torch.round(out), 0, 255).byte()[0] \
+            .permute(1, 2, 0).numpy()
+        np.testing.assert_array_equal(got, want)
+
+    def test_sharpness_factor_unmapped(self, rng):
+        """The 6th variant must be enhance(U(0,10)) with no remap: replaying
+        the same rng stream through explicit ImageEnhance calls reproduces
+        every variant byte-for-byte."""
+        from PIL import ImageEnhance
+
+        img = self._img(rng)
+        seed_rng = np.random.default_rng(7)
+        variants = list(augment.augment_image(img, seed_rng))
+
+        replay = np.random.default_rng(7)
+        ImageEnhance.Brightness(img).enhance(replay.uniform(0.5, 3))
+        ImageEnhance.Contrast(img).enhance(replay.uniform(0.5, 4))
+        replay.uniform(0.5, 3)                      # gamma draw
+        replay.uniform(-0.5, 0.5)                   # hue draw
+        ImageEnhance.Color(img).enhance(replay.uniform(0, 4))
+        factor = replay.uniform(0, 10)
+        want = ImageEnhance.Sharpness(img).enhance(factor)
+        np.testing.assert_array_equal(np.asarray(variants[5]),
+                                      np.asarray(want))
+        assert 0.0 <= factor <= 10.0
