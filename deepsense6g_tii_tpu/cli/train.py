@@ -60,8 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seq_len", type=int, default=5)
     p.add_argument("--grad_clip", type=float, default=None)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
-    p.add_argument("--remat", type=int, default=0,
-                   help="rematerialize fusion stages (larger batches)")
+    p.add_argument("--remat", type=str, default="none",
+                   choices=["0", "1", "none", "fusion", "conv"],
+                   help="rematerialization policy for larger batches: "
+                        "none | fusion (checkpoint token-fusion stages) | "
+                        "conv (checkpoint ResNet stages, scans stored); "
+                        "0/1 alias none/fusion")
     p.add_argument("--multihost", type=int, default=0,
                    help="jax.distributed.initialize() for multi-host DCN "
                         "training; same code, bigger ('data',) mesh")
@@ -101,7 +105,7 @@ def config_from_args(args):
         filtered=args.filtered,
         add_seg=args.add_seg,
         compute_dtype=args.compute_dtype,
-        remat=bool(args.remat),
+        remat={"0": "none", "1": "fusion"}.get(args.remat, args.remat),
     )
 
 

@@ -71,7 +71,10 @@ class GlobalConfig:
     param_dtype: str = "float32"     # parameter dtype
     compute_dtype: str = "bfloat16"  # activation/matmul dtype on the MXU
     use_pallas_scan: bool = True     # Pallas selective-scan vs associative_scan ref
-    remat: bool = False              # jax.checkpoint over encoder stages
+    # rematerialization policy: "none" | "fusion" (checkpoint the token-
+    # fusion stages incl. scans) | "conv" (checkpoint the ResNet stages,
+    # keep the scan activations stored — cheaper recompute per HBM saved)
+    remat: str = "none"
 
     @property
     def anchors(self) -> int:

@@ -51,11 +51,15 @@ class FusionEncoder(nn.Module):
     def setup(self):
         cfg = self.config
         dtype = jnp.dtype(cfg.compute_dtype)
+        conv_remat = cfg.remat == "conv"
         self.image_backbone = ResNetBackbone(RESNET34_BLOCKS, dtype=dtype,
+                                             remat=conv_remat,
                                              name="image_encoder")
         self.lidar_backbone = ResNetBackbone(RESNET18_BLOCKS, dtype=dtype,
+                                             remat=conv_remat,
                                              name="lidar_encoder")
         self.radar_backbone = ResNetBackbone(RESNET18_BLOCKS, dtype=dtype,
+                                             remat=conv_remat,
                                              name="radar_encoder")
 
         self.vel_embs = [
@@ -63,12 +67,14 @@ class FusionEncoder(nn.Module):
             for i in range(4)
         ]
         fusion_type = "mamba" if cfg.FFM else "gpt"
-        # config.remat: rematerialize each fusion stage in the backward pass
-        # (jax.checkpoint) — trades ~1 extra forward of the fusion stack for
-        # not keeping its activations live, the standard HBM lever for
-        # larger per-chip batches.
+        # remat="fusion": rematerialize each fusion stage in the backward
+        # pass (jax.checkpoint) — trades ~1 extra forward of the fusion
+        # stack for not keeping its activations live, the standard HBM lever
+        # for larger per-chip batches.  remat="conv" instead checkpoints the
+        # ResNet stages (cheap convs recompute; the expensive scans stay
+        # stored) — see ResNetBackbone.
         fusion_cls = (nn.remat(TokenFusion, static_argnums=(5,))
-                      if cfg.remat else TokenFusion)
+                      if cfg.remat == "fusion" else TokenFusion)
         self.fusions = [
             fusion_cls(
                 n_embd=STAGE_FEATURES[i],

@@ -94,21 +94,29 @@ STAGE_STRIDES: Tuple[int, ...] = (1, 2, 2, 2)
 
 
 class ResNetBackbone(nn.Module):
-    """Stage-separable ResNet.  Call with stage='stem'|'1'|'2'|'3'|'4'."""
+    """Stage-separable ResNet.  Call with stage='stem'|'1'|'2'|'3'|'4'.
+
+    ``remat`` checkpoints each stage (remat="conv" policy): conv activations
+    recompute in the backward pass instead of living in HBM — cheap FLOPs
+    (MXU convs) for large memory, while the VPU-bound scan activations stay
+    stored."""
 
     blocks: Sequence[int] = RESNET18_BLOCKS
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     def setup(self):
+        stage_cls = (nn.remat(ResNetStage, static_argnums=(2,))
+                     if self.remat else ResNetStage)
         self.stem = ResNetStem(dtype=self.dtype)
-        self.stage1 = ResNetStage(STAGE_FEATURES[0], self.blocks[0],
-                                  STAGE_STRIDES[0], dtype=self.dtype)
-        self.stage2 = ResNetStage(STAGE_FEATURES[1], self.blocks[1],
-                                  STAGE_STRIDES[1], dtype=self.dtype)
-        self.stage3 = ResNetStage(STAGE_FEATURES[2], self.blocks[2],
-                                  STAGE_STRIDES[2], dtype=self.dtype)
-        self.stage4 = ResNetStage(STAGE_FEATURES[3], self.blocks[3],
-                                  STAGE_STRIDES[3], dtype=self.dtype)
+        self.stage1 = stage_cls(STAGE_FEATURES[0], self.blocks[0],
+                                STAGE_STRIDES[0], dtype=self.dtype)
+        self.stage2 = stage_cls(STAGE_FEATURES[1], self.blocks[1],
+                                STAGE_STRIDES[1], dtype=self.dtype)
+        self.stage3 = stage_cls(STAGE_FEATURES[2], self.blocks[2],
+                                STAGE_STRIDES[2], dtype=self.dtype)
+        self.stage4 = stage_cls(STAGE_FEATURES[3], self.blocks[3],
+                                STAGE_STRIDES[3], dtype=self.dtype)
 
     def __call__(self, x, train: bool = False, mask=None):
         """Full backbone pass (used for weight-port validation).

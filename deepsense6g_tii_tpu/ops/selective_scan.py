@@ -138,9 +138,13 @@ def _shift_up_ax(x: jnp.ndarray, s: int, fill: float, axis: int):
 def _chunk_scan(a1, bb, h_in):
     """All in-chunk states from per-step decays a1, updates bb, entry state.
 
-    The entry state folds into the *segment-level* prefix (arrays 1/SEG the
-    size), so the full-size cumulative-decay product never materializes —
-    3 fewer dense (BL, n, BD) passes than scan-then-combine.
+    Work-efficient two-level scan: *sequential* recurrences inside each
+    SEG-wide segment (two ~1-pass sweeps over (G, n, BD)-sized slices — the
+    Hillis-Steele doubling it replaces costs ~6 full (BL, n, BD) passes and
+    the kernels are VMEM-bandwidth-bound, NOTES_NEXT_ROUND r1), plus a tiny
+    Hillis-Steele over the G segment carries.  The entry state folds into
+    the segment-level prefix, so no full-size cumulative-decay product ever
+    materializes.
     """
     T = a1.shape[0]
     if T <= SEG:
@@ -149,12 +153,13 @@ def _chunk_scan(a1, bb, h_in):
     G = T // SEG
     a4 = a1.reshape((G, SEG) + a1.shape[1:])
     b4 = bb.reshape((G, SEG) + bb.shape[1:])
-    s = 1
-    while s < SEG:
-        b4 = b4 + a4 * _shift_down_ax(b4, s, 0.0, axis=1)
-        a4 = a4 * _shift_down_ax(a4, s, 1.0, axis=1)
-        s *= 2
-    aa, bb_seg = a4[:, SEG - 1], b4[:, SEG - 1]
+    # sweep 1: per-segment carry (decay product, zero-entry end state)
+    aa, t = a4[:, 0], b4[:, 0]
+    for s in range(1, SEG):
+        t = b4[:, s] + a4[:, s] * t
+        aa = aa * a4[:, s]
+    # G-level inclusive scan over the segment carries (1/SEG-sized arrays)
+    bb_seg = t
     s = 1
     while s < G:
         bb_seg = bb_seg + aa * _shift_down_ax(bb_seg, s, 0.0, axis=0)
@@ -163,13 +168,18 @@ def _chunk_scan(a1, bb, h_in):
     # segment-entry states including the chunk-entry state (tiny arrays)
     h_in_seg = (_shift_down_ax(bb_seg, 1, 0.0, axis=0)
                 + _shift_down_ax(aa, 1, 1.0, axis=0) * h_in[None])
-    h = b4 + a4 * h_in_seg[:, None]
-    return h.reshape((T,) + bb.shape[1:])
+    # sweep 2: in-segment states with the entry folded in
+    h = b4[:, 0] + a4[:, 0] * h_in_seg
+    hs = [h]
+    for s in range(1, SEG):
+        h = b4[:, s] + a4[:, s] * h
+        hs.append(h)
+    return jnp.stack(hs, axis=1).reshape((T,) + bb.shape[1:])
 
 
 def _chunk_scan_rev(a, b, g_in):
-    """Reverse counterpart: g[t] = b[t] + a[t] g[t+1] with g[T] = g_in,
-    entry state folded at segment level."""
+    """Reverse counterpart: g[t] = b[t] + a[t] g[t+1] with g[T] = g_in —
+    same work-efficient two-level structure as :func:`_chunk_scan`."""
     T = a.shape[0]
     if T <= SEG:
         a_cum, g_rel = _doubling_scan_rev(a, b)
@@ -177,12 +187,11 @@ def _chunk_scan_rev(a, b, g_in):
     G = T // SEG
     a4 = a.reshape((G, SEG) + a.shape[1:])
     b4 = b.reshape((G, SEG) + b.shape[1:])
-    s = 1
-    while s < SEG:
-        b4 = b4 + a4 * _shift_up_ax(b4, s, 0.0, axis=1)
-        a4 = a4 * _shift_up_ax(a4, s, 1.0, axis=1)
-        s *= 2
-    aa, bb_seg = a4[:, 0], b4[:, 0]
+    aa, t = a4[:, SEG - 1], b4[:, SEG - 1]
+    for s in range(SEG - 2, -1, -1):
+        t = b4[:, s] + a4[:, s] * t
+        aa = aa * a4[:, s]
+    bb_seg = t
     s = 1
     while s < G:
         bb_seg = bb_seg + aa * _shift_up_ax(bb_seg, s, 0.0, axis=0)
@@ -190,8 +199,13 @@ def _chunk_scan_rev(a, b, g_in):
         s *= 2
     g_in_seg = (_shift_up_ax(bb_seg, 1, 0.0, axis=0)
                 + _shift_up_ax(aa, 1, 1.0, axis=0) * g_in[None])
-    g = b4 + a4 * g_in_seg[:, None]
-    return g.reshape((T,) + b.shape[1:])
+    g = b4[:, SEG - 1] + a4[:, SEG - 1] * g_in_seg
+    gs = [g]
+    for s in range(SEG - 2, -1, -1):
+        g = b4[:, s] + a4[:, s] * g
+        gs.append(g)
+    gs.reverse()
+    return jnp.stack(gs, axis=1).reshape((T,) + b.shape[1:])
 
 
 # ---------------------------------------------------------------------------

@@ -15,6 +15,8 @@ from __future__ import annotations
 import csv
 import dataclasses
 import os
+import queue
+import threading
 import time
 from typing import Dict, Iterable, List, Optional
 
@@ -51,6 +53,7 @@ class TrainOptions:
     finetune: bool = False
     clip_grad_norm: Optional[float] = None
     seed: int = 100
+    prefetch: int = 2                # batches decoded+staged ahead (0 = off)
 
 
 class Engine:
@@ -126,6 +129,45 @@ class Engine:
                 [np.ones(n, np.float32), np.zeros(pad, np.float32)])
         return shard_batch(dev, self.mesh), n
 
+    def _staged(self, loader: Iterable[Dict]):
+        """Yields (host_batch, device_batch, n) with the loader's decode and
+        the host->device transfer of batch k+1 overlapped with step k's
+        device compute (opts.prefetch-deep background thread; the reference
+        loads synchronously between steps, train2_seq.py:94).  device_put is
+        async, so staging only dispatches the DMA — the step consuming it
+        later is what waits, off the host's critical path."""
+        depth = self.opts.prefetch
+        if depth <= 0:
+            for batch in loader:
+                dev, n = self._to_device(batch)
+                yield batch, dev, n
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=depth)
+        end = object()
+        err: List[BaseException] = []
+
+        def worker():
+            try:
+                for batch in loader:
+                    dev, n = self._to_device(batch)
+                    q.put((batch, dev, n))
+            except BaseException as e:      # surfaced on the main thread
+                err.append(e)
+            finally:
+                q.put(end)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is end:
+                t.join()
+                if err:
+                    raise err[0]
+                return
+            yield item
+
     # -- epoch loops ---------------------------------------------------------
 
     def train(self, loader: Iterable[Dict]) -> float:
@@ -137,10 +179,9 @@ class Engine:
         self.timer.reset()
         batch_size = None
         epoch_t0 = time.perf_counter()
-        for batch in loader:
+        for batch, dev, n in self._staged(loader):
             if self.state is None:
                 self.init_state(batch)
-            dev, n = self._to_device(batch)
             batch_size = batch_size or n
             self.state, m = self.train_step(self.state, dev, lr)
             # keep metrics as device arrays — a host readback here would
@@ -189,10 +230,9 @@ class Engine:
         """Validation epoch with per-scenario DBA (train2_seq.py:158-221)."""
         num_batches = 0
         losses, gt_all, pred_all, scen_all = [], [], [], []
-        for batch in loader:
+        for batch, dev, n in self._staged(loader):
             if self.state is None:
                 self.init_state(batch)
-            dev, n = self._to_device(batch)
             m = self.eval_step(self.state, dev)
             losses.append(m["loss"])
             pred_all.append((m["ranks"], n))
@@ -239,10 +279,9 @@ class Engine:
         """Test pass: writes beam_pred.csv (1-indexed top-1/2/3) and the
         softmax-confidence CSV (train2_seq.py:224-252,338-346)."""
         pred_all, conf_all = [], []
-        for batch in loader:
+        for batch, dev, n in self._staged(loader):
             if self.state is None:
                 self.init_state(batch)
-            dev, n = self._to_device(batch)
             m = self.eval_step(self.state, dev)
             pred_all.append(np.asarray(m["ranks"])[:n])
             conf_all.append(np.asarray(m["confidence"])[:n])

@@ -20,6 +20,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compilation cache: the suite compiles the same full-model HLO
+# (init/apply/train_step at identical shapes) in many test modules; caching
+# on disk turns every repeat — within a run and across runs — into a load.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("DEEPSENSE_TEST_CACHE",
+                                 "/tmp/jax_cache_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -250,3 +250,60 @@ class TestPaddedBatchExactness:
         assert "valid" not in dev_full
         # the padded batch trains end-to-end through the jitted step
         eng.train([ragged])
+
+
+class TestFlattenedOptimizer:
+    def test_trajectory_matches_per_leaf(self, rng):
+        """flatten_transform must be a pure layout change: one AdamW+EMA
+        step from identical state produces identical params (VERDICT r1 #4)."""
+        from deepsense6g_tii_tpu.train.state import make_optimizer
+
+        model = TinyFuser(CFG)
+        batch = make_batch(rng, B=4)
+        dev = {k: jnp.asarray(v) for k, v in batch.items() if k != "scenario"}
+        variables = model.init(jax.random.PRNGKey(0), batch["image"],
+                               batch["lidar"], batch["radar"], batch["gps"])
+        results = []
+        for flatten in (False, True):
+            tx = make_optimizer(flatten=flatten)
+            step = make_train_step(model, CFG, tx, use_ema=True)
+            # the step donates the state; give each run its own buffers
+            state = create_train_state(
+                jax.tree_util.tree_map(jnp.copy, variables), tx)
+            for _ in range(3):
+                state, m = step(state, dev, 1e-3)
+            results.append(jax.device_get((state.params, state.ema_params,
+                                           float(m["loss"]))))
+        (p0, e0, l0), (p1, e1, l1) = results
+        assert l0 == pytest.approx(l1, rel=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(p0),
+                        jax.tree_util.tree_leaves(p1)):
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+        for a, b in zip(jax.tree_util.tree_leaves(e0),
+                        jax.tree_util.tree_leaves(e1)):
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+class TestStagedPrefetch:
+    def test_preserves_order_and_propagates_errors(self, tmp_path, rng):
+        opts = TrainOptions(logdir=str(tmp_path / "run"), prefetch=2)
+        os.makedirs(opts.logdir, exist_ok=True)
+        eng = Engine(TinyFuser(CFG), CFG, opts, mesh=make_mesh())
+        batches = [make_batch(rng, B=8) for _ in range(4)]
+        got = [np.asarray(b["beamidx"]) for b, _, _ in eng._staged(batches)]
+        for a, b in zip(got, batches):
+            np.testing.assert_array_equal(a, b["beamidx"])
+
+        def bad_loader():
+            yield batches[0]
+            raise ValueError("decode failed")
+
+        with pytest.raises(ValueError, match="decode failed"):
+            list(eng._staged(bad_loader()))
+
+    def test_prefetch_zero_is_synchronous(self, tmp_path, rng):
+        opts = TrainOptions(logdir=str(tmp_path / "run"), prefetch=0)
+        os.makedirs(opts.logdir, exist_ok=True)
+        eng = Engine(TinyFuser(CFG), CFG, opts, mesh=make_mesh())
+        out = list(eng._staged([make_batch(rng, B=8)]))
+        assert len(out) == 1 and out[0][2] == 8

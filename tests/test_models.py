@@ -265,3 +265,40 @@ class TestSampleMask:
                         jax.tree_util.tree_leaves(pad_stats)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6)
+
+
+class TestRematPolicies:
+    def test_remat_grads_match_none(self, rng):
+        """jax.checkpoint is semantically identity: gradients under each
+        remat policy equal the unrematerialized gradients (up to recompute
+        float reassociation, hence the loose rtol)."""
+        inp = (jnp.asarray(rng.uniform(0, 255, (1, 1, 256, 256, 3)).astype(np.float32)),
+               jnp.asarray(rng.uniform(0, 1, (1, 1, 256, 256, 1)).astype(np.float32)),
+               jnp.asarray(rng.uniform(0, 1, (1, 1, 256, 256, 2)).astype(np.float32)),
+               jnp.asarray(rng.normal(size=(1, 2, 2)).astype(np.float32)))
+
+        def grads_for(remat):
+            cfg = GlobalConfig(seq_len=1, n_layer=1, use_pallas_scan=False,
+                               compute_dtype="float32", remat=remat)
+            model = BeamFuser(cfg)
+            variables = model.init(jax.random.PRNGKey(0), *inp)
+
+            def loss(params):
+                out = model.apply(
+                    {"params": params,
+                     "batch_stats": variables["batch_stats"]}, *inp,
+                    train=False)
+                return (out ** 2).sum()
+
+            return jax.grad(loss)(variables["params"])
+
+        g0 = grads_for("none")
+        for policy in ("fusion", "conv"):
+            g1 = grads_for(policy)
+            for a, b in zip(jax.tree_util.tree_leaves(g0),
+                            jax.tree_util.tree_leaves(g1)):
+                a, b = np.asarray(a), np.asarray(b)
+                # recompute reassociation perturbs near-zero elements of
+                # large-magnitude leaves: scale the atol to the leaf
+                np.testing.assert_allclose(
+                    a, b, rtol=2e-2, atol=1e-3 * max(np.abs(a).max(), 1e-3))
