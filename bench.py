@@ -33,11 +33,14 @@ def main():
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     n_chips = len(jax.devices())
     on_tpu = jax.default_backend() == "tpu"
-    B = 8 * n_chips if on_tpu else n_chips
+    # per-chip batch 8 / no remat measured optimal on v5e (NOTES_NEXT_ROUND);
+    # env knobs for A/B experiments only.
+    B = int(os.environ.get("DEEPSENSE_BENCH_B", 8 if on_tpu else 1)) * n_chips
     T = 5
 
     cfg = GlobalConfig(use_pallas_scan=on_tpu,
-                       compute_dtype="bfloat16" if on_tpu else "float32")
+                       compute_dtype="bfloat16" if on_tpu else "float32",
+                       remat=os.environ.get("DEEPSENSE_BENCH_REMAT", "none"))
     model = BeamFuser(cfg)
     rng = np.random.default_rng(0)
     batch = {

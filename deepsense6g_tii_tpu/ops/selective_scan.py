@@ -21,8 +21,18 @@ Implementations:
 
   Two kernel variants share the wrapper:
     - ``chunked`` (default): within each VMEM-resident chunk the scan runs as
-      a Hillis-Steele doubling over the time axis — log2(BL) dense
-      (BL, n, BD) VPU passes instead of BL tiny sequential steps.
+      a two-level work-efficient scan (sequential sweeps inside SEG-wide
+      segments, vectorized across the BL/SEG segments, plus a tiny doubling
+      over the segment carries).  In the backward, the gradient seed
+      C (x) dy is constructed on the fly, the reverse scan runs in
+      p = a1*g space (removes the a1[t+1] shift), ah = a1*h_prev is stored
+      instead of the states (a free sweep-2 intermediate, and exactly the
+      factor the dt/A gradients need), and all five gradient reductions
+      happen inside the sweeps while g/h are hot.  The forward deliberately
+      materializes a1/bb/h as full (BL, n, BD) arrays: Mosaic keeps the
+      sweep chains in registers, so the same fusion applied to the forward
+      measured SLOWER (per-op overhead on small slices dominates, not VMEM
+      passes — see _chunk_scan).
     - ``sequential``: a fori_loop over time steps; simpler, used as a
       cross-check and for very small batches.
 """
@@ -72,52 +82,11 @@ def selective_scan_ref(u: jnp.ndarray, dt: jnp.ndarray, A: jnp.ndarray,
 # in-chunk scan bodies
 # ---------------------------------------------------------------------------
 
-def _shift_down(x: jnp.ndarray, s: int, fill: float) -> jnp.ndarray:
-    """x[t] -> x[t-s] along axis 0, first s rows = fill."""
-    pad = jnp.full((s,) + x.shape[1:], fill, x.dtype)
-    return jnp.concatenate([pad, x[:-s]], axis=0)
-
-
-def _shift_up(x: jnp.ndarray, s: int, fill: float) -> jnp.ndarray:
-    """x[t] -> x[t+s] along axis 0, last s rows = fill."""
-    pad = jnp.full((s,) + x.shape[1:], fill, x.dtype)
-    return jnp.concatenate([x[s:], pad], axis=0)
-
-
-def _doubling_scan_rev(a: jnp.ndarray, b: jnp.ndarray):
-    """Reverse inclusive scan of g[t] = b[t] + a[t] g[t+1], g[T] = 0.
-
-    Returns (a_cum, g) with a_cum[t] = prod_{s>=t} a[s] (tail product), so a
-    carried-in final state G adds as g[t] += a_cum[t] * G.
-    """
-    T = a.shape[0]
-    s = 1
-    while s < T:
-        b = b + a * _shift_up(b, s, 0.0)
-        a = a * _shift_up(a, s, 1.0)
-        s *= 2
-    return a, b
-
-
-def _doubling_scan(a: jnp.ndarray, b: jnp.ndarray):
-    """Inclusive scan of h[t] = a[t] h[t-1] + b[t] over axis 0, h[-1] = 0.
-
-    Returns (a_cum, h) where a_cum[t] = prod_{s<=t} a[s].
-    Hillis-Steele: log2(T) dense passes, all VPU work.
-    """
-    T = a.shape[0]
-    s = 1
-    while s < T:
-        b = b + a * _shift_down(b, s, 0.0)
-        a = a * _shift_down(a, s, 1.0)
-        s *= 2
-    return a, b
-
-
 SEG = 8    # segment width of the two-level in-chunk scan (A/B-tuned on v5e)
 
 
-def _shift_down_ax(x: jnp.ndarray, s: int, fill: float, axis: int):
+def _shift_down_ax(x: jnp.ndarray, s: int, fill: float, axis: int = 0):
+    """x[t] -> x[t-s] along ``axis``, first s rows = fill."""
     pad_shape = list(x.shape)
     pad_shape[axis] = s
     pad = jnp.full(pad_shape, fill, x.dtype)
@@ -126,7 +95,8 @@ def _shift_down_ax(x: jnp.ndarray, s: int, fill: float, axis: int):
     return jnp.concatenate([pad, x[tuple(idx)]], axis=axis)
 
 
-def _shift_up_ax(x: jnp.ndarray, s: int, fill: float, axis: int):
+def _shift_up_ax(x: jnp.ndarray, s: int, fill: float, axis: int = 0):
+    """x[t] -> x[t+s] along ``axis``, last s rows = fill."""
     pad_shape = list(x.shape)
     pad_shape[axis] = s
     pad = jnp.full(pad_shape, fill, x.dtype)
@@ -135,21 +105,49 @@ def _shift_up_ax(x: jnp.ndarray, s: int, fill: float, axis: int):
     return jnp.concatenate([x[tuple(idx)], pad], axis=axis)
 
 
+def _segment_prefix(aa, carry, h_in):
+    """Inclusive doubling scan over the G segment carries (1/SEG-sized
+    arrays), then the per-segment *entry* states with the chunk entry
+    ``h_in`` folded in.  Shared by the forward and (mirrored) backward."""
+    G = aa.shape[0]
+    s = 1
+    while s < G:
+        carry = carry + aa * _shift_down_ax(carry, s, 0.0)
+        aa = aa * _shift_down_ax(aa, s, 1.0)
+        s *= 2
+    return (_shift_down_ax(carry, 1, 0.0)
+            + _shift_down_ax(aa, 1, 1.0) * h_in[None])
+
+
+def _segment_suffix(aa, carry, g_in):
+    """Reverse-direction counterpart of :func:`_segment_prefix`: per-segment
+    *exit* states (the value entering each segment from the right)."""
+    G = aa.shape[0]
+    s = 1
+    while s < G:
+        carry = carry + aa * _shift_up_ax(carry, s, 0.0)
+        aa = aa * _shift_up_ax(aa, s, 1.0)
+        s *= 2
+    return (_shift_up_ax(carry, 1, 0.0)
+            + _shift_up_ax(aa, 1, 1.0) * g_in[None])
+
+
+# ---------------------------------------------------------------------------
+# Pallas forward
+# ---------------------------------------------------------------------------
+
 def _chunk_scan(a1, bb, h_in):
     """All in-chunk states from per-step decays a1, updates bb, entry state.
 
     Work-efficient two-level scan: *sequential* recurrences inside each
-    SEG-wide segment (two ~1-pass sweeps over (G, n, BD)-sized slices — the
-    Hillis-Steele doubling it replaces costs ~6 full (BL, n, BD) passes and
-    the kernels are VMEM-bandwidth-bound, NOTES_NEXT_ROUND r1), plus a tiny
-    Hillis-Steele over the G segment carries.  The entry state folds into
-    the segment-level prefix, so no full-size cumulative-decay product ever
-    materializes.
+    SEG-wide segment (vectorized across the G = BL/SEG segments), plus the
+    tiny doubling over segment carries (:func:`_segment_prefix`).  Measured
+    on v5e (r2): Mosaic keeps the sweep data in registers, so further
+    fusing the bb construction / output reduction into the sweeps is
+    SLOWER (1.51 vs 1.25 ms fwd at d=1024) — the kernels are per-op-
+    overhead-bound on the (G, n, BD) slices, not VMEM-pass-bound.
     """
     T = a1.shape[0]
-    if T <= SEG:
-        a_cum, h_rel = _doubling_scan(a1, bb)
-        return h_rel + a_cum * h_in[None]
     G = T // SEG
     a4 = a1.reshape((G, SEG) + a1.shape[1:])
     b4 = bb.reshape((G, SEG) + bb.shape[1:])
@@ -158,16 +156,7 @@ def _chunk_scan(a1, bb, h_in):
     for s in range(1, SEG):
         t = b4[:, s] + a4[:, s] * t
         aa = aa * a4[:, s]
-    # G-level inclusive scan over the segment carries (1/SEG-sized arrays)
-    bb_seg = t
-    s = 1
-    while s < G:
-        bb_seg = bb_seg + aa * _shift_down_ax(bb_seg, s, 0.0, axis=0)
-        aa = aa * _shift_down_ax(aa, s, 1.0, axis=0)
-        s *= 2
-    # segment-entry states including the chunk-entry state (tiny arrays)
-    h_in_seg = (_shift_down_ax(bb_seg, 1, 0.0, axis=0)
-                + _shift_down_ax(aa, 1, 1.0, axis=0) * h_in[None])
+    h_in_seg = _segment_prefix(aa, t, h_in)
     # sweep 2: in-segment states with the entry folded in
     h = b4[:, 0] + a4[:, 0] * h_in_seg
     hs = [h]
@@ -176,41 +165,6 @@ def _chunk_scan(a1, bb, h_in):
         hs.append(h)
     return jnp.stack(hs, axis=1).reshape((T,) + bb.shape[1:])
 
-
-def _chunk_scan_rev(a, b, g_in):
-    """Reverse counterpart: g[t] = b[t] + a[t] g[t+1] with g[T] = g_in —
-    same work-efficient two-level structure as :func:`_chunk_scan`."""
-    T = a.shape[0]
-    if T <= SEG:
-        a_cum, g_rel = _doubling_scan_rev(a, b)
-        return g_rel + a_cum * g_in[None]
-    G = T // SEG
-    a4 = a.reshape((G, SEG) + a.shape[1:])
-    b4 = b.reshape((G, SEG) + b.shape[1:])
-    aa, t = a4[:, SEG - 1], b4[:, SEG - 1]
-    for s in range(SEG - 2, -1, -1):
-        t = b4[:, s] + a4[:, s] * t
-        aa = aa * a4[:, s]
-    bb_seg = t
-    s = 1
-    while s < G:
-        bb_seg = bb_seg + aa * _shift_up_ax(bb_seg, s, 0.0, axis=0)
-        aa = aa * _shift_up_ax(aa, s, 1.0, axis=0)
-        s *= 2
-    g_in_seg = (_shift_up_ax(bb_seg, 1, 0.0, axis=0)
-                + _shift_up_ax(aa, 1, 1.0, axis=0) * g_in[None])
-    g = b4[:, SEG - 1] + a4[:, SEG - 1] * g_in_seg
-    gs = [g]
-    for s in range(SEG - 2, -1, -1):
-        g = b4[:, s] + a4[:, s] * g
-        gs.append(g)
-    gs.reverse()
-    return jnp.stack(gs, axis=1).reshape((T,) + b.shape[1:])
-
-
-# ---------------------------------------------------------------------------
-# Pallas forward
-# ---------------------------------------------------------------------------
 
 def _fwd_kernel_chunked(u_ref, dt_ref, b_ref, c_ref, at_ref,
                         y_ref, hin_ref, hout_ref, h_scr):
@@ -312,6 +266,13 @@ def _scan_fwd_pallas(u, dt, B, C, A_t, variant, interpret=False):
 def _bwd_kernel_chunked(u_ref, dt_ref, b_ref, c_ref, at_ref, hin_ref, dy_ref,
                         du_ref, ddt_ref, db_ref, dc_ref, da_ref,
                         g_scr):
+    """Fused backward chunk.  Two (BL, n, BD) arrays are materialized: the
+    decay a1 and ah_t = a1_t * h_{t-1} (a free intermediate of the state
+    reconstruction sweep, and exactly the factor the dt/A gradients need:
+    d a1 terms = g_t * ah_t).  The reverse gradient recurrence runs in
+    p_t = a1_t * g_t space — p_t = a1_t (q_t + p_{t+1}) — which removes the
+    a1[t+1] shift; all five gradient reductions (du, ddt, dB, dC, dA)
+    happen inside the sweeps while g_t / h_t are hot."""
     lc = pl.program_id(2)
 
     @pl.when(lc == 0)   # reverse order: first grid step is the LAST chunk
@@ -321,32 +282,72 @@ def _bwd_kernel_chunked(u_ref, dt_ref, b_ref, c_ref, at_ref, hin_ref, dy_ref,
     A_t = at_ref[...]                                      # (n, BD)
     dt = dt_ref[0].astype(jnp.float32)                     # (BL, BD)
     u = u_ref[0].astype(jnp.float32)
-    Bv = b_ref[0].astype(jnp.float32)                      # (BL, n)
-    Cv = c_ref[0].astype(jnp.float32)
     dy = dy_ref[0].astype(jnp.float32)                     # (BL, BD)
     h_in = hin_ref[0, 0]                                   # (n, BD)
+    n = b_ref.shape[-1]
+    G = BL // SEG
 
     a1 = jnp.exp(dt[:, None, :] * A_t[None])               # (BL, n, BD)
-    dtu = (dt * u)[:, None, :]                             # (BL, 1, BD)
-    bb = Bv[:, :, None] * dtu
-    hs = _chunk_scan(a1, bb, h_in)                         # states h_t
+    a4 = a1.reshape((G, SEG) + a1.shape[1:])
+    B4 = b_ref[0].astype(jnp.float32).reshape(G, SEG, n)
+    C4 = c_ref[0].astype(jnp.float32).reshape(G, SEG, n)
+    dt4 = dt.reshape(G, SEG, -1)
+    u4 = u.reshape(G, SEG, -1)
+    dtu4 = (dt * u).reshape(G, SEG, -1)
+    dy4 = dy.reshape(G, SEG, -1)
 
-    # reverse recurrence g[t] = q[t] + a1[t+1] g[t+1], incoming carry
-    # G = a1[first of later chunk] * g[first of later chunk]
-    q = Cv[:, :, None] * dy[:, None, :]                    # (BL, n, BD)
-    a_up = _shift_up(a1, 1, 1.0)                           # a_up[t] = a1[t+1]
-    g = _chunk_scan_rev(a_up, q, g_scr[...])               # (BL, n, BD)
-    g_scr[...] = a1[0] * g[0]                              # carry for chunk-1
+    def bb(s):                                             # (G, n, BD)
+        return B4[:, s][:, :, None] * dtu4[:, s][:, None, :]
 
-    gb = jnp.sum(g * Bv[:, :, None], axis=1)               # (BL, BD)
-    du_ref[0] = (dt * gb).astype(du_ref.dtype)
-    # d a1 / d(.) terms need g * h_prev * a1; the recurrence gives
-    # h_prev * a1 == hs - bb, saving the shifted-state materialization
-    gsa = g * (hs - bb)                                    # (BL, n, BD)
-    ddt_ref[0] = (gb * u + jnp.sum(gsa * A_t[None], axis=1)).astype(ddt_ref.dtype)
-    db_ref[0, 0] = jnp.sum(g * dtu, axis=2).astype(db_ref.dtype)
-    dc_ref[0, 0] = jnp.sum(hs * dy[:, None, :], axis=2).astype(dc_ref.dtype)
-    da_acc = jnp.sum(gsa * dt[:, None, :], axis=0)         # (n, BD)
+    # --- phase 1: reconstruct states from the chunk-entry state; store
+    # ah_t = a1_t h_{t-1}; dC_t = sum_d h_t dy_t fused into sweep 2.
+    aa, t = a4[:, 0], bb(0)
+    for s in range(1, SEG):
+        t = bb(s) + a4[:, s] * t
+        aa = aa * a4[:, s]
+    h = _segment_prefix(aa, t, h_in)
+    ahs, dcs = [], []
+    for s in range(SEG):
+        ah = a4[:, s] * h
+        h = bb(s) + ah
+        ahs.append(ah)
+        dcs.append(jnp.sum(h * dy4[:, s][:, None, :], axis=2))   # (G, n)
+    ah4 = jnp.stack(ahs, axis=1)                           # (G, SEG, n, BD)
+    dc_ref[0, 0] = jnp.stack(dcs, axis=1).reshape(BL, n).astype(dc_ref.dtype)
+
+    # --- phase 2: reverse scan in p = a1*g space.  q_t = C_t (x) dy_t is
+    # built on the fly; g_t = q_t + p_{t+1}; p_t = a1_t g_t.  Carried state
+    # g_scr is p[first element of the later chunk].
+    def q(s):                                              # (G, n, BD)
+        return C4[:, s][:, :, None] * dy4[:, s][:, None, :]
+
+    aa = a4[:, SEG - 1]
+    p = a4[:, SEG - 1] * q(SEG - 1)
+    for s in range(SEG - 2, -1, -1):
+        p = a4[:, s] * (q(s) + p)
+        aa = aa * a4[:, s]
+    p_in_seg = _segment_suffix(aa, p, g_scr[...])
+    # sweep 2 (descending t): g / p live per step; all gradient reductions
+    # fused here.
+    p = p_in_seg
+    dus = [None] * SEG
+    ddts = [None] * SEG
+    dbs = [None] * SEG
+    da_acc = jnp.zeros_like(A_t)
+    for s in range(SEG - 1, -1, -1):
+        g = q(s) + p                                       # (G, n, BD)
+        p = a4[:, s] * g
+        gb = jnp.sum(g * B4[:, s][:, :, None], axis=1)     # (G, BD)
+        gsa = g * ah4[:, s]                                # (G, n, BD)
+        dus[s] = dt4[:, s] * gb
+        ddts[s] = gb * u4[:, s] + jnp.sum(gsa * A_t[None], axis=1)
+        dbs[s] = jnp.sum(g * dtu4[:, s][:, None, :], axis=2)   # (G, n)
+        da_acc = da_acc + jnp.sum(gsa * dt4[:, s][:, None, :], axis=0)
+    g_scr[...] = p[0]                                      # carry for chunk-1
+
+    du_ref[0] = jnp.stack(dus, axis=1).reshape(BL, -1).astype(du_ref.dtype)
+    ddt_ref[0] = jnp.stack(ddts, axis=1).reshape(BL, -1).astype(ddt_ref.dtype)
+    db_ref[0, 0] = jnp.stack(dbs, axis=1).reshape(BL, n).astype(db_ref.dtype)
 
     @pl.when(lc == 0)
     def _():

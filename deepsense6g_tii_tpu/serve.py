@@ -50,10 +50,11 @@ class Predictor:
         model = BeamFuser(config)
         T = config.seq_len
         rc = 2 if config.add_velocity else 1
+        H = config.crop
         template = jax.eval_shape(
             model.init, jax.random.PRNGKey(0),
-            jnp.zeros((1, T, 256, 256, 3)), jnp.zeros((1, T, 256, 256, 1)),
-            jnp.zeros((1, T, 256, 256, rc)), jnp.zeros((1, config.gps_len, 2)))
+            jnp.zeros((1, T, H, H, 3)), jnp.zeros((1, T, H, H, 1)),
+            jnp.zeros((1, T, H, H, rc)), jnp.zeros((1, config.gps_len, 2)))
         template = jax.tree_util.tree_map(
             lambda s: jnp.zeros(s.shape, s.dtype), template)
         with open(path, "rb") as f:
@@ -97,9 +98,10 @@ class Predictor:
         for b in self.buckets:
             T = self.config.seq_len
             rc = 2 if self.config.add_velocity else 1
-            self.predict(np.zeros((b, T, 256, 256, 3), np.float32),
-                         np.zeros((b, T, 256, 256, 1), np.float32),
-                         np.zeros((b, T, 256, 256, rc), np.float32),
+            H = self.config.crop
+            self.predict(np.zeros((b, T, H, H, 3), np.float32),
+                         np.zeros((b, T, H, H, 1), np.float32),
+                         np.zeros((b, T, H, H, rc), np.float32),
                          np.zeros((b, self.config.gps_len, 2), np.float32))
 
     def latency_benchmark(self, batch: int = 1, iters: int = 30
@@ -107,10 +109,11 @@ class Predictor:
         """p50/p90/mean single-call latency in ms (includes host sync)."""
         T = self.config.seq_len
         rc = 2 if self.config.add_velocity else 1
+        H = self.config.crop
         args = (np.random.default_rng(0).uniform(
-                    0, 255, (batch, T, 256, 256, 3)).astype(np.float32),
-                np.zeros((batch, T, 256, 256, 1), np.float32),
-                np.zeros((batch, T, 256, 256, rc), np.float32),
+                    0, 255, (batch, T, H, H, 3)).astype(np.float32),
+                np.zeros((batch, T, H, H, 1), np.float32),
+                np.zeros((batch, T, H, H, rc), np.float32),
                 np.zeros((batch, self.config.gps_len, 2), np.float32))
         self.predict(*args)              # compile
         times = []

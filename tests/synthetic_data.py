@@ -17,7 +17,7 @@ from deepsense6g_tii_tpu.config import GlobalConfig
 from deepsense6g_tii_tpu.data.features import soft_beam_target_np
 
 
-def make_batch(rng, B=2, T=2, H=256, W=256, radar_ch=2, num_beams=64,
+def make_batch(rng, B=2, T=2, H=128, W=128, radar_ch=2, num_beams=64,
                pred_len=1):
     idx = rng.integers(0, num_beams, size=(B,) if pred_len == 1 else (B, pred_len))
     if pred_len == 1:

@@ -26,7 +26,7 @@ class TestConfig30to5:
         cfg = GlobalConfig(seq_len=2, pred_len=3, use_pallas_scan=False,
                            compute_dtype="float32")
         model = TinyFuser(cfg)
-        batch = make_batch(rng, B=4, pred_len=3)
+        batch = make_batch(rng, B=4, pred_len=3, H=128, W=128)
         tx = make_optimizer()
         step = make_train_step(model, cfg, tx, clip_grad_norm=3.0)
         v = model.init(jax.random.PRNGKey(0), batch["image"], batch["lidar"],

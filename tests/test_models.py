@@ -91,13 +91,19 @@ class TestResNetTorchParity:
         assert "bn1" in params["stem"]
 
 
+# Tiny geometry for full-model tests on the 1-core CPU host: 128px inputs
+# with 4x4 anchors keep the exact stage-map/anchor/upsample ratios of the
+# reference 256px/8x8 geometry (input_res/32 == vert_anchors) at ~4x less
+# conv work.  Parity-critical tests (test_encoder_oracle, param count) stay
+# at the reference geometry.
 SMALL = GlobalConfig(seq_len=2, n_layer=1, use_pallas_scan=False,
-                     compute_dtype="float32")
+                     compute_dtype="float32", vert_anchors=4, horz_anchors=4,
+                     input_resolution=128, crop=128)
 
 
-def _inputs(B=1, T=2, radar_ch=2):
-    return (jnp.zeros((B, T, 256, 256, 3)), jnp.zeros((B, T, 256, 256, 1)),
-            jnp.zeros((B, T, 256, 256, radar_ch)), jnp.zeros((B, 2, 2)))
+def _inputs(B=1, T=2, radar_ch=2, H=128):
+    return (jnp.zeros((B, T, H, H, 3)), jnp.zeros((B, T, H, H, 1)),
+            jnp.zeros((B, T, H, H, radar_ch)), jnp.zeros((B, 2, 2)))
 
 
 class TestFusionBlocks:
@@ -153,7 +159,8 @@ class TestBeamFuser:
         """MambaFuser I+L+R+G = 103,461,924 params (README_mine.md Table I)."""
         cfg = GlobalConfig(use_pallas_scan=False, compute_dtype="float32")
         model = BeamFuser(cfg)
-        shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), *_inputs(T=5))
+        shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                                *_inputs(T=5, H=256))
         n = sum(int(np.prod(p.shape))
                 for p in jax.tree_util.tree_leaves(shapes["params"]))
         assert n == 103_461_924
@@ -192,7 +199,7 @@ class TestBeamFuser:
         """Zeroing the image must change logits vs intact input."""
         base = BeamFuser(SMALL)
         miss = BeamFuser(SMALL.replace(modality_missing="image"))
-        img = jnp.asarray(rng.uniform(0, 255, (1, 2, 256, 256, 3)).astype(np.float32))
+        img = jnp.asarray(rng.uniform(0, 255, (1, 2, 128, 128, 3)).astype(np.float32))
         rest = _inputs()[1:]
         v = base.init(jax.random.PRNGKey(0), img, *rest)
         a = base.apply(v, img, *rest)
@@ -215,7 +222,7 @@ class TestBeamFuser:
         fused, feats = model.apply(v, *inp, method=model.encode_stage1)
         assert fused.shape == (1, 512)
         assert len(feats) == 3
-        assert feats[0].shape == (2, 64, 64, 64)   # (B*T, H/4, W/4, 64)
+        assert feats[0].shape == (2, 32, 32, 64)   # (B*T, H/4, W/4, 64)
 
 
 class TestGraft:
@@ -244,9 +251,9 @@ class TestSampleMask:
         only cross-sample coupling is BatchNorm)."""
         cfg = SMALL.replace(embd_pdrop=0.0, resid_pdrop=0.0, attn_pdrop=0.0)
         model = BeamFuser(cfg)
-        inp = [jnp.asarray(rng.uniform(0, 255, (2, 2, 256, 256, 3)).astype(np.float32)),
-               jnp.asarray(rng.uniform(0, 1, (2, 2, 256, 256, 1)).astype(np.float32)),
-               jnp.asarray(rng.uniform(0, 1, (2, 2, 256, 256, 2)).astype(np.float32))]
+        inp = [jnp.asarray(rng.uniform(0, 255, (2, 2, 128, 128, 3)).astype(np.float32)),
+               jnp.asarray(rng.uniform(0, 1, (2, 2, 128, 128, 1)).astype(np.float32)),
+               jnp.asarray(rng.uniform(0, 1, (2, 2, 128, 128, 2)).astype(np.float32))]
         gps = jnp.asarray(rng.normal(size=(2, 2, 2)).astype(np.float32))
         v = model.init(jax.random.PRNGKey(0), *inp, gps)
 
@@ -272,14 +279,16 @@ class TestRematPolicies:
         """jax.checkpoint is semantically identity: gradients under each
         remat policy equal the unrematerialized gradients (up to recompute
         float reassociation, hence the loose rtol)."""
-        inp = (jnp.asarray(rng.uniform(0, 255, (1, 1, 256, 256, 3)).astype(np.float32)),
-               jnp.asarray(rng.uniform(0, 1, (1, 1, 256, 256, 1)).astype(np.float32)),
-               jnp.asarray(rng.uniform(0, 1, (1, 1, 256, 256, 2)).astype(np.float32)),
+        inp = (jnp.asarray(rng.uniform(0, 255, (1, 1, 128, 128, 3)).astype(np.float32)),
+               jnp.asarray(rng.uniform(0, 1, (1, 1, 128, 128, 1)).astype(np.float32)),
+               jnp.asarray(rng.uniform(0, 1, (1, 1, 128, 128, 2)).astype(np.float32)),
                jnp.asarray(rng.normal(size=(1, 2, 2)).astype(np.float32)))
 
         def grads_for(remat):
             cfg = GlobalConfig(seq_len=1, n_layer=1, use_pallas_scan=False,
-                               compute_dtype="float32", remat=remat)
+                               compute_dtype="float32", remat=remat,
+                               vert_anchors=4, horz_anchors=4,
+                               input_resolution=128, crop=128)
             model = BeamFuser(cfg)
             variables = model.init(jax.random.PRNGKey(0), *inp)
 

@@ -10,14 +10,16 @@ import pytest
 from deepsense6g_tii_tpu.config import GlobalConfig
 from deepsense6g_tii_tpu.serve import Predictor
 
+# 128px / 4x4-anchor geometry (see tests/test_models.py).
 CFG = GlobalConfig(seq_len=2, n_layer=1, use_pallas_scan=False,
-                   compute_dtype="float32")
+                   compute_dtype="float32", vert_anchors=4, horz_anchors=4,
+                   input_resolution=128, crop=128)
 
 
 def _inputs(n, T=2, rc=2):
-    return (np.zeros((n, T, 256, 256, 3), np.float32),
-            np.zeros((n, T, 256, 256, 1), np.float32),
-            np.zeros((n, T, 256, 256, rc), np.float32),
+    return (np.zeros((n, T, 128, 128, 3), np.float32),
+            np.zeros((n, T, 128, 128, 1), np.float32),
+            np.zeros((n, T, 128, 128, rc), np.float32),
             np.zeros((n, 2, 2), np.float32))
 
 
@@ -48,7 +50,7 @@ class TestPredictor:
 
     def test_batch_matches_single(self, predictor):
         rng = np.random.default_rng(0)
-        img = rng.uniform(0, 255, (4, 2, 256, 256, 3)).astype(np.float32)
+        img = rng.uniform(0, 255, (4, 2, 128, 128, 3)).astype(np.float32)
         rest = _inputs(4)[1:]
         b_all, _ = predictor.predict(img, *rest)
         b_one, _ = predictor.predict(img[:1], rest[0][:1], rest[1][:1],
