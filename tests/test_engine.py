@@ -229,8 +229,10 @@ class TestPaddedBatchExactness:
         assert l_pad == pytest.approx(l_exact, rel=1e-6)
         for a, b in zip(jax.tree_util.tree_leaves(g_exact),
                         jax.tree_util.tree_leaves(g_pad)):
+            # not bit-identical: the B=3 and masked-B=4 reductions have
+            # different float association; atol covers near-zero leaves.
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-5, atol=1e-7)
+                                       rtol=1e-5, atol=1e-6)
         for a, b in zip(jax.tree_util.tree_leaves(s_exact),
                         jax.tree_util.tree_leaves(s_pad)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
