@@ -392,7 +392,7 @@ def _scan_bwd_pallas(u, dt, B, C, A_t, h_in, dy, interpret=False):
             pl.BlockSpec((1, n, BD), lambda i, j, k: (i, 0, j)),       # dA part
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, L, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, L, d), u.dtype),     # du in input dtype
             jax.ShapeDtypeStruct((b, L, d), jnp.float32),
             jax.ShapeDtypeStruct((b, nd, L, n), jnp.float32),
             jax.ShapeDtypeStruct((b, nd, L, n), jnp.float32),
@@ -429,12 +429,16 @@ def selective_scan(u, dt, A, B, C, interpret=False, variant="chunked"):
 
     d must be a multiple of 128; L is padded internally to a multiple of BL.
     ``interpret=True`` runs the kernels in interpreter mode (CPU tests).
-    Inputs are cast to float32 outside the custom-vjp boundary, so mixed
-    (e.g. bfloat16) activations differentiate cleanly.
+
+    u/B/C may be bfloat16: the kernels cast per-chunk in VMEM (all compute
+    and carries are f32, y is f32) and return du/dB/dC in the input dtype —
+    exactly what the caller's mixed-precision boundary would do anyway,
+    without materializing f32 copies of the big activations in HBM.  dt and
+    A are always promoted to f32 (they pass through exp; the callers keep
+    them f32 already, ops/mamba.py).
     """
-    return _scan_core(u.astype(jnp.float32), dt.astype(jnp.float32),
-                      A.astype(jnp.float32), B.astype(jnp.float32),
-                      C.astype(jnp.float32), interpret, variant)
+    return _scan_core(u, dt.astype(jnp.float32), A.astype(jnp.float32),
+                      B, C, interpret, variant)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -465,7 +469,10 @@ def _bwd_rule(interpret, variant, res, dy):
     dyp = _pad_seq(dy.astype(jnp.float32), pad)
     du, ddt, dB, dC, dA = _scan_bwd_pallas(
         up, dtp, Bp, Cp, A_t, h_in, dyp, interpret=interpret)
-    return du[:, :L], ddt[:, :L], dA, dB[:, :L], dC[:, :L]
+    # grads must match primal dtypes; dB/dC partials are summed in f32
+    # across channel blocks first, then rounded once.
+    return (du[:, :L], ddt[:, :L], dA,
+            dB[:, :L].astype(Bp.dtype), dC[:, :L].astype(Cp.dtype))
 
 
 _scan_core.defvjp(_fwd_rule, _bwd_rule)

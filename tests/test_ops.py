@@ -56,6 +56,34 @@ class TestSelectiveScanPallas:
                                        np.asarray(gr) / scale,
                                        rtol=2e-4, atol=2e-5)
 
+    def test_bf16_activations(self, rng):
+        """bf16 u/B/C flow straight into the kernels (no f32 HBM copies);
+        y stays f32, grads come back in the input dtype and match the f32
+        path at bf16 resolution."""
+        u, dt, A, B, C = _scan_inputs(rng)
+        ub, Bb, Cb = (x.astype(jnp.bfloat16) for x in (u, B, C))
+        y32 = selective_scan(ub.astype(jnp.float32), dt, A,
+                             Bb.astype(jnp.float32), Cb.astype(jnp.float32),
+                             True)
+        y16 = selective_scan(ub, dt, A, Bb, Cb, True)
+        assert y16.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(y16), np.asarray(y32),
+                                   rtol=1e-5, atol=1e-5)
+
+        g = jax.grad(lambda u_, B_, C_: (selective_scan(
+            u_, dt, A, B_, C_, True) ** 2).sum(), argnums=(0, 1, 2))(
+                ub, Bb, Cb)
+        g32 = jax.grad(lambda u_, B_, C_: (selective_scan(
+            u_, dt, A, B_, C_, True) ** 2).sum(), argnums=(0, 1, 2))(
+                ub.astype(jnp.float32), Bb.astype(jnp.float32),
+                Cb.astype(jnp.float32))
+        for a, r in zip(g, g32):
+            assert a.dtype == jnp.bfloat16
+            scale = max(float(jnp.abs(r).max()), 1e-6)
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32) / scale,
+                np.asarray(r) / scale, rtol=0.05, atol=0.02)
+
     def test_exact_chunk_multiple_length(self, rng):
         u, dt, A, B, C = _scan_inputs(rng, L=256)
         y_ref = selective_scan_ref(u, dt, A, B, C)
