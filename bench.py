@@ -21,9 +21,12 @@ import numpy as np
 
 from deepsense6g_tii_tpu.config import GlobalConfig
 from deepsense6g_tii_tpu.models.fuser import BeamFuser
-from deepsense6g_tii_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from deepsense6g_tii_tpu.parallel.mesh import (make_mesh, replicate,
+                                               shard_batch,
+                                               shard_stacked_batch)
 from deepsense6g_tii_tpu.train.state import create_train_state, make_optimizer
-from deepsense6g_tii_tpu.train.steps import make_train_step
+from deepsense6g_tii_tpu.train.steps import (make_multi_train_step,
+                                             make_train_step)
 
 BASELINE_SAMPLES_PER_SEC_PER_CHIP = 2.85
 
@@ -36,6 +39,10 @@ def main():
     # per-chip batch 8 / no remat measured optimal on v5e (NOTES_NEXT_ROUND);
     # env knobs for A/B experiments only.
     B = int(os.environ.get("DEEPSENSE_BENCH_B", 8 if on_tpu else 1)) * n_chips
+    # steps fused per dispatch (Engine steps_per_dispatch / lax.scan): takes
+    # the tunneled host's ~30 ms/step dispatch+sync gap off the measurement,
+    # exactly as the production engine runs (train/engine.py::_staged_train).
+    K = int(os.environ.get("DEEPSENSE_BENCH_K", 8 if on_tpu else 1))
     T = 5
 
     cfg = GlobalConfig(use_pallas_scan=on_tpu,
@@ -63,24 +70,30 @@ def main():
                            batch["lidar"][:1], batch["radar"][:1],
                            batch["gps"][:1]))()
     state = replicate(create_train_state(variables, tx), mesh)
-    dev_batch = shard_batch(batch, mesh)
-    step = make_train_step(model, cfg, tx, use_ema=True)
+    if K > 1:
+        stacked = {k: np.broadcast_to(v, (K,) + v.shape).copy()
+                   for k, v in batch.items()}
+        dev_batch = shard_stacked_batch(stacked, mesh)
+        step = make_multi_train_step(model, cfg, tx, use_ema=True)
+    else:
+        dev_batch = shard_batch(batch, mesh)
+        step = make_train_step(model, cfg, tx, use_ema=True)
 
     # warmup/compile
     state, m = step(state, dev_batch, 1e-4)
-    _ = float(m["loss"])
+    _ = float(np.asarray(m["loss"]).ravel()[-1])
 
-    n_iter = 10
+    n_iter = max(1, 10 // K) if K > 1 else 10
     t0 = time.perf_counter()
     for _ in range(n_iter):
         state, m = step(state, dev_batch, 1e-4)
-    _ = float(m["loss"])            # forces completion of the whole chain
-    dt = (time.perf_counter() - t0) / n_iter
+    _ = float(np.asarray(m["loss"]).ravel()[-1])   # completes the chain
+    dt = (time.perf_counter() - t0) / (n_iter * K)
 
     sps_chip = B / dt / n_chips
     print(json.dumps({
         "metric": "fused 4-modal train samples/sec/chip (MambaFuser, bs "
-                  f"{B}, {n_chips} chip(s))",
+                  f"{B}, {K} step(s)/dispatch, {n_chips} chip(s))",
         "value": round(sps_chip, 3),
         "unit": "samples/sec/chip",
         "vs_baseline": round(sps_chip / BASELINE_SAMPLES_PER_SEC_PER_CHIP, 2),

@@ -41,6 +41,15 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
+def shard_stacked_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """Host arrays with a leading steps axis -> device arrays with the
+    SECOND (batch) dim sharded: (K, B, ...) as P(None, 'data').  Used by the
+    fused multi-step dispatch (train/steps.py::make_multi_train_step), whose
+    lax.scan consumes one leading-axis slice per optimizer step."""
+    sh = NamedSharding(mesh, P(None, axis_name))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
 def replicate(tree, mesh: Mesh):
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

@@ -25,13 +25,14 @@ import numpy as np
 
 from ..config import SCENARIOS, GlobalConfig
 from ..parallel.mesh import (make_mesh, pad_to_multiple, replicate,
-                             shard_batch)
+                             shard_batch, shard_stacked_batch)
 from . import checkpoints as ckpt
 from .metrics import compute_acc, compute_dba_score, flatten_multistep
 from .profiling import StepTimer
 from .scheduler import cyclic_cosine_decay_lr
 from .state import TrainState, create_train_state, make_optimizer
-from .steps import make_eval_step, make_train_step
+from .steps import (make_eval_step, make_multi_train_step,
+                    make_train_step)
 
 DEVICE_KEYS = ("image", "lidar", "radar", "gps", "beam", "beamidx",
                "rebuild_feats")
@@ -54,6 +55,12 @@ class TrainOptions:
     clip_grad_norm: Optional[float] = None
     seed: int = 100
     prefetch: int = 2                # batches decoded+staged ahead (0 = off)
+    # optimizer steps fused into one device dispatch (lax.scan over stacked
+    # batches).  >1 takes the host off the per-step critical path (the
+    # reference dispatches eagerly per batch, train2_seq.py:94); ragged or
+    # padded batches fall back to single-step dispatches.  Trajectory
+    # equality with 1 is pinned by tests (TestTrainStep/TestEngineMultiStep).
+    steps_per_dispatch: int = 1
 
 
 class Engine:
@@ -75,10 +82,13 @@ class Engine:
         self.DBAft: List[float] = [0.0]      # finetune stream
 
         self.tx = make_optimizer()
-        self.train_step = make_train_step(
-            model, cfg, self.tx, loss_name=opts.loss,
-            temp_coef=opts.temp_coef, use_ema=opts.ema,
-            clip_grad_norm=opts.clip_grad_norm, rng_seed=opts.seed)
+        step_kw = dict(loss_name=opts.loss, temp_coef=opts.temp_coef,
+                       use_ema=opts.ema, clip_grad_norm=opts.clip_grad_norm,
+                       rng_seed=opts.seed)
+        self.train_step = make_train_step(model, cfg, self.tx, **step_kw)
+        self.multi_train_step = (
+            make_multi_train_step(model, cfg, self.tx, **step_kw)
+            if opts.steps_per_dispatch > 1 else None)
         self.eval_step = make_eval_step(
             model, cfg, loss_name=opts.loss, temp_coef=opts.temp_coef,
             use_ema=opts.ema)
@@ -129,18 +139,17 @@ class Engine:
                 [np.ones(n, np.float32), np.zeros(pad, np.float32)])
         return shard_batch(dev, self.mesh), n
 
-    def _staged(self, loader: Iterable[Dict]):
-        """Yields (host_batch, device_batch, n) with the loader's decode and
-        the host->device transfer of batch k+1 overlapped with step k's
-        device compute (opts.prefetch-deep background thread; the reference
-        loads synchronously between steps, train2_seq.py:94).  device_put is
-        async, so staging only dispatches the DMA — the step consuming it
-        later is what waits, off the host's critical path."""
+    def _prefetched(self, gen_fn):
+        """Runs ``gen_fn()`` on a background thread with a bounded
+        opts.prefetch-deep queue, overlapping the loader's decode and the
+        host->device transfer of item k+1 with step k's device compute (the
+        reference loads synchronously between steps, train2_seq.py:94).
+        device_put is async, so staging only dispatches the DMA — the step
+        consuming it later is what waits, off the host's critical path.
+        Worker exceptions re-raise on the main thread."""
         depth = self.opts.prefetch
         if depth <= 0:
-            for batch in loader:
-                dev, n = self._to_device(batch)
-                yield batch, dev, n
+            yield from gen_fn()
             return
 
         q: queue.Queue = queue.Queue(maxsize=depth)
@@ -149,9 +158,8 @@ class Engine:
 
         def worker():
             try:
-                for batch in loader:
-                    dev, n = self._to_device(batch)
-                    q.put((batch, dev, n))
+                for item in gen_fn():
+                    q.put(item)
             except BaseException as e:      # surfaced on the main thread
                 err.append(e)
             finally:
@@ -168,6 +176,59 @@ class Engine:
                 return
             yield item
 
+    def _staged(self, loader: Iterable[Dict]):
+        """Yields (host_batch, device_batch, n), prefetched."""
+
+        def gen():
+            for batch in loader:
+                dev, n = self._to_device(batch)
+                yield batch, dev, n
+
+        return self._prefetched(gen)
+
+    def _group_iter(self, loader: Iterable[Dict]):
+        """Groups consecutive full-size batches into stacked multi-step
+        dispatches: yields ('multi', host_batches, stacked_dev, n_each) for
+        groups of opts.steps_per_dispatch equal, unpadded batches, and
+        ('single', [host_batch], dev, n) for ragged/odd ones."""
+        K = self.opts.steps_per_dispatch
+        n_dev = self.mesh.devices.size
+        buf: List = []
+        nominal = None
+
+        def single(batch):
+            dev, n = self._to_device(batch)
+            return "single", [batch], dev, n
+
+        for batch in loader:
+            hd = {k: np.asarray(v) for k, v in batch.items()
+                  if k in DEVICE_KEYS}
+            n = next(iter(hd.values())).shape[0]
+            nominal = n if nominal is None else nominal
+            if n == nominal and n % n_dev == 0:
+                buf.append((batch, hd))
+                if len(buf) == K:
+                    stacked = {k: np.stack([hd[k] for _, hd in buf])
+                               for k in buf[0][1]}
+                    dev = shard_stacked_batch(stacked, self.mesh)
+                    yield "multi", [b for b, _ in buf], dev, n
+                    buf = []
+            else:
+                for b, _ in buf:
+                    yield single(b)
+                buf = []
+                yield single(batch)
+        for b, _ in buf:
+            yield single(b)
+
+    def _staged_train(self, loader: Iterable[Dict]):
+        """Training stream: ('single'|'multi', host_batches, dev, n)."""
+        if self.multi_train_step is None:
+            for batch, dev, n in self._staged(loader):
+                yield "single", [batch], dev, n
+        else:
+            yield from self._prefetched(lambda: self._group_iter(loader))
+
     # -- epoch loops ---------------------------------------------------------
 
     def train(self, loader: Iterable[Dict]) -> float:
@@ -179,20 +240,29 @@ class Engine:
         self.timer.reset()
         batch_size = None
         epoch_t0 = time.perf_counter()
-        for batch, dev, n in self._staged(loader):
+        for kind, batches, dev, n in self._staged_train(loader):
             if self.state is None:
-                self.init_state(batch)
+                self.init_state(batches[0])
             batch_size = batch_size or n
-            self.state, m = self.train_step(self.state, dev, lr)
-            # keep metrics as device arrays — a host readback here would
-            # serialize every step on the transfer link
-            losses.append(m["loss"])
-            pred_all.append((m["ranks"], n))
-            gt_all.append(np.asarray(batch["beamidx"]))
+            if kind == "multi":
+                self.state, m = self.multi_train_step(self.state, dev, lr)
+                # stacked metrics: loss (K,), ranks (K, B, beams)
+                losses.append(m["loss"])
+                for k in range(len(batches)):
+                    pred_all.append((m["ranks"][k], n))
+            else:
+                self.state, m = self.train_step(self.state, dev, lr)
+                # keep metrics as device arrays — a host readback here would
+                # serialize every step on the transfer link
+                losses.append(m["loss"])
+                pred_all.append((m["ranks"], n))
+            for b in batches:
+                gt_all.append(np.asarray(b["beamidx"]))
             self.timer.tick()
-            num_batches += 1
-            self.cur_iter += 1
-        loss_epoch = float(np.mean([np.asarray(l) for l in losses])) \
+            num_batches += len(batches)
+            self.cur_iter += len(batches)
+        loss_epoch = float(np.concatenate(
+            [np.atleast_1d(np.asarray(l)) for l in losses]).mean()) \
             if losses else 0.0
         pred_all = [np.asarray(r)[:n] for r, n in pred_all]
         epoch_dt = time.perf_counter() - epoch_t0       # includes final sync

@@ -48,14 +48,15 @@ def _compute_loss(cfg: GlobalConfig, loss_name: str, temp_coef: bool,
     return cross_entropy_loss(logits, target, sample_weight=weight)
 
 
-def make_train_step(model, cfg: GlobalConfig, tx,
+def _make_step_body(model, cfg: GlobalConfig, tx,
                     loss_name: str = "focal",
                     temp_coef: bool = True,
                     use_ema: bool = False,
                     ema_decay: float = 0.999,
                     clip_grad_norm: Optional[float] = None,
                     rng_seed: int = 100):
-    """Returns jitted (state, batch, lr) -> (state, metrics)."""
+    """Unjitted (state, batch, lr) -> (state, metrics) train-step body,
+    shared by the single-step and multi-step (scan) wrappers."""
 
     base_rng = jax.random.PRNGKey(rng_seed)
 
@@ -71,7 +72,6 @@ def make_train_step(model, cfg: GlobalConfig, tx,
         loss = _compute_loss(cfg, loss_name, temp_coef, logits, batch)
         return loss, (logits, aux["batch_stats"])
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, lr):
         rngs = {"dropout": jax.random.fold_in(base_rng, state.step)}
         if cfg.modality_missing is not None \
@@ -105,6 +105,41 @@ def make_train_step(model, cfg: GlobalConfig, tx,
         return new_state, {"loss": loss, "ranks": ranks}
 
     return train_step
+
+
+def make_train_step(model, cfg: GlobalConfig, tx, **kw):
+    """Returns jitted (state, batch, lr) -> (state, metrics)."""
+    return jax.jit(_make_step_body(model, cfg, tx, **kw), donate_argnums=(0,))
+
+
+def make_multi_train_step(model, cfg: GlobalConfig, tx, **kw):
+    """Returns jitted (state, batches, lr) -> (state, metrics) running one
+    optimizer step per leading-axis slice of ``batches`` inside a single
+    ``lax.scan`` dispatch.
+
+    TPU-native replacement for the reference's step-at-a-time eager loop
+    (train2_seq.py:94-156): K steps leave the host entirely — one dispatch,
+    one compiled program, no host round-trip between steps.  On a tunneled
+    host this removes the ~30 ms/step dispatch gap; on a co-located host it
+    still shrinks the loop's host work K-fold.  Per-step math is identical
+    to ``make_train_step`` (the dropout streams fold from ``state.step``,
+    which increments inside the scan), pinned by
+    tests/test_engine.py::TestMultiStep.
+
+    ``batches``: the same pytree a single step takes, with a leading K axis
+    on every leaf (stack K loader batches).  Metrics come back stacked:
+    loss (K,), ranks (K, B, num_beams).
+    """
+    body = _make_step_body(model, cfg, tx, **kw)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi_step(state: TrainState, batches, lr):
+        def f(s, b):
+            return body(s, b, lr)
+
+        return jax.lax.scan(f, state, batches)
+
+    return multi_step
 
 
 def make_eval_step(model, cfg: GlobalConfig,

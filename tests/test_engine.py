@@ -16,7 +16,9 @@ from deepsense6g_tii_tpu.parallel.mesh import make_mesh
 from deepsense6g_tii_tpu.train.engine import (Engine, TrainOptions,
                                               save_pred_to_csv)
 from deepsense6g_tii_tpu.train.state import create_train_state, make_optimizer
-from deepsense6g_tii_tpu.train.steps import make_eval_step, make_train_step
+from deepsense6g_tii_tpu.train.steps import (make_eval_step,
+                                             make_multi_train_step,
+                                             make_train_step)
 
 from synthetic_data import TinyFuser, make_batch
 
@@ -43,6 +45,47 @@ class TestTrainStep:
             losses.append(float(m["loss"]))
         assert losses[-1] < losses[0] * 0.7
         assert int(state.step) == 20
+
+    def test_multi_step_matches_sequential(self, rng):
+        """K steps fused in one lax.scan dispatch produce the exact same
+        trajectory (params, opt state, EMA, losses) as K single-step
+        dispatches — same per-step math, same dropout streams."""
+        K = 3
+        model = TinyFuser(CFG)
+        batches = [make_batch(rng, B=4) for _ in range(K)]
+        devs = [{k: jnp.asarray(v) for k, v in b.items() if k != "scenario"}
+                for b in batches]
+        tx = make_optimizer()
+        variables = model.init(jax.random.PRNGKey(0), devs[0]["image"],
+                               devs[0]["lidar"], devs[0]["radar"],
+                               devs[0]["gps"])
+
+        # both step flavors donate their state; give each its own buffers
+        v2 = jax.tree_util.tree_map(jnp.array, variables)
+
+        step = make_train_step(model, CFG, tx, use_ema=True)
+        s_seq = create_train_state(variables, tx)
+        seq_losses = []
+        for d in devs:
+            s_seq, m = step(s_seq, d, 1e-3)
+            seq_losses.append(float(m["loss"]))
+
+        multi = make_multi_train_step(model, CFG, tx, use_ema=True)
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *devs)
+        s_mul, ms = multi(create_train_state(v2, tx), stacked, 1e-3)
+
+        assert int(s_mul.step) == K
+        np.testing.assert_allclose(np.asarray(ms["loss"]), seq_losses,
+                                   rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(s_seq.params),
+                        jax.tree_util.tree_leaves(s_mul.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+        for a, b in zip(jax.tree_util.tree_leaves(s_seq.ema_params),
+                        jax.tree_util.tree_leaves(s_mul.ema_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
 
     def test_ema_tracks_params(self, rng):
         model = TinyFuser(CFG)
@@ -79,6 +122,34 @@ class TestTrainStep:
         for a, b in zip(jax.tree_util.tree_leaves(p0),
                         jax.tree_util.tree_leaves(p1)):
             np.testing.assert_allclose(a, b, rtol=1e-2, atol=1e-4)
+
+
+class TestEngineMultiStep:
+    def test_trajectory_matches_single_step(self, tmp_path, rng):
+        """Engine with steps_per_dispatch=3 over a loader with a ragged tail
+        (which falls back to single dispatch) reproduces the
+        steps_per_dispatch=1 run: same epoch loss, DBA and final params."""
+        loader = [make_batch(rng, B=8) for _ in range(6)] + \
+            [make_batch(rng, B=5)]                          # ragged tail
+
+        def run(k, sub):
+            opts = TrainOptions(logdir=str(tmp_path / sub), epochs=1,
+                                lr=1e-3, scheduler=False,
+                                steps_per_dispatch=k)
+            os.makedirs(opts.logdir, exist_ok=True)
+            eng = Engine(TinyFuser(CFG), CFG, opts, mesh=make_mesh())
+            dba = eng.train(loader)
+            return eng, dba, eng.train_loss[-1]
+
+        e1, dba1, l1 = run(1, "a")
+        e3, dba3, l3 = run(3, "b")
+        assert e1.cur_iter == e3.cur_iter == 7
+        assert dba3 == pytest.approx(dba1)
+        assert l3 == pytest.approx(l1, rel=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(e1.state.params),
+                        jax.tree_util.tree_leaves(e3.state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
 
 
 class TestEngine:

@@ -20,6 +20,8 @@ import numpy as np
 
 from deepsense6g_tii_tpu.config import GlobalConfig
 from deepsense6g_tii_tpu.models.fuser import BeamFuser
+from deepsense6g_tii_tpu.parallel.mesh import (make_mesh, replicate,
+                                                shard_batch)
 from deepsense6g_tii_tpu.train.state import create_train_state, make_optimizer
 from deepsense6g_tii_tpu.train.steps import make_train_step
 
@@ -42,13 +44,16 @@ def main():
         "beam": np.eye(64, dtype=np.float32)[rng.integers(0, 64, B)],
         "beamidx": rng.integers(0, 64, B).astype(np.int32),
     }
-    batch = {k: jax.device_put(v) for k, v in batch.items()}
-    variables = model.init(jax.random.PRNGKey(0), batch["image"][:1],
+    # mirror bench.py exactly so the jit cache is shared with it
+    mesh = make_mesh()
+    batch = shard_batch(batch, mesh)
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), batch["image"][:1],
                            batch["lidar"][:1], batch["radar"][:1],
-                           batch["gps"][:1])
+                           batch["gps"][:1]))()
     tx = make_optimizer()
-    state = create_train_state(variables, tx)
-    step = make_train_step(model, cfg, tx)
+    state = replicate(create_train_state(variables, tx), mesh)
+    step = make_train_step(model, cfg, tx, use_ema=True)
     state, m = step(state, batch, 1e-4)
     _ = float(m["loss"])                  # compile + sync
 
@@ -59,26 +64,37 @@ def main():
         _ = float(m["loss"])
     jax.profiler.stop_trace()
 
+    summarize(trace_dir, n_steps=3)
+
+
+def summarize(trace_dir, n_steps=3, top=25):
+    """Parse the gviz-JSON framework_op_stats table xprof emits (bytes)."""
+    import collections
+    import json
+
     files = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                       recursive=True)
     from xprof.convert import raw_to_tool_data
     data, _ = raw_to_tool_data.xspace_to_tool_data(
         [max(files, key=os.path.getmtime)], "framework_op_stats", {})
-    if isinstance(data, bytes):
-        data = data.decode()
-    import csv as _csv
-    import io
-    rows = list(_csv.DictReader(io.StringIO(data)))
-    dev = [r for r in rows if r.get("Host/device", "") == "Device"]
-    total = sum(float(r["Total self-time (us)"]) for r in dev)
-    print(f"device total (3 steps): {total/1e3:.1f} ms   "
-          f"({total/3e3:.1f} ms/step)")
-    dev.sort(key=lambda r: -float(r["Total self-time (us)"]))
-    print(f"{'op':60s} {'ms/step':>8s} {'%':>6s}")
-    for r in dev[:25]:
-        t = float(r["Total self-time (us)"]) / 3e3
-        print(f"{r['Operation'][:60]:60s} {t:8.2f} "
-              f"{100*float(r['Total self-time (us)'])/total:6.1f}")
+    tbl = json.loads(data.decode() if isinstance(data, bytes) else data)[0]
+    cols = [c["id"] for c in tbl["cols"]]
+    rows = [dict(zip(cols, [c["v"] for c in r["c"]])) for r in tbl["rows"]]
+    dev = [r for r in rows if r["host_or_device"] == "Device"]
+    total = sum(r["total_self_time"] for r in dev)
+    print(f"device total: {total/n_steps/1e3:.2f} ms/step")
+    agg = collections.defaultdict(float)
+    for r in dev:
+        agg[r["type"]] += r["total_self_time"]
+    print("by category:")
+    for k, v in sorted(agg.items(), key=lambda kv: -kv[1]):
+        print(f"  {k:30s} {v/n_steps/1e3:8.2f} ms/step {100*v/total:5.1f}%")
+    dev.sort(key=lambda r: -r["total_self_time"])
+    print("top ops:")
+    for r in dev[:top]:
+        print(f"  {r['operation'][:70]:70s} "
+              f"{r['total_self_time']/n_steps/1e3:8.2f} "
+              f"{100*r['total_self_time']/total:5.1f}%")
 
 
 if __name__ == "__main__":
