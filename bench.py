@@ -74,7 +74,9 @@ def main():
         stacked = {k: np.broadcast_to(v, (K,) + v.shape).copy()
                    for k, v in batch.items()}
         dev_batch = shard_stacked_batch(stacked, mesh)
-        step = make_multi_train_step(model, cfg, tx, use_ema=True)
+        step = make_multi_train_step(
+            model, cfg, tx, use_ema=True,
+            unroll=int(os.environ.get("DEEPSENSE_BENCH_UNROLL", "1")))
     else:
         dev_batch = shard_batch(batch, mesh)
         step = make_train_step(model, cfg, tx, use_ema=True)
@@ -83,7 +85,7 @@ def main():
     state, m = step(state, dev_batch, 1e-4)
     _ = float(np.asarray(m["loss"]).ravel()[-1])
 
-    n_iter = max(1, 10 // K) if K > 1 else 10
+    n_iter = 5 if K > 1 else 10     # K>1: 5 dispatches = 5K steps
     t0 = time.perf_counter()
     for _ in range(n_iter):
         state, m = step(state, dev_batch, 1e-4)

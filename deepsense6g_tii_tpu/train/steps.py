@@ -112,10 +112,12 @@ def make_train_step(model, cfg: GlobalConfig, tx, **kw):
     return jax.jit(_make_step_body(model, cfg, tx, **kw), donate_argnums=(0,))
 
 
-def make_multi_train_step(model, cfg: GlobalConfig, tx, **kw):
+def make_multi_train_step(model, cfg: GlobalConfig, tx, unroll: int = 1,
+                          **kw):
     """Returns jitted (state, batches, lr) -> (state, metrics) running one
     optimizer step per leading-axis slice of ``batches`` inside a single
-    ``lax.scan`` dispatch.
+    ``lax.scan`` dispatch.  ``unroll`` inlines that many step bodies per
+    loop iteration (less while-loop/slicing overhead, larger program).
 
     TPU-native replacement for the reference's step-at-a-time eager loop
     (train2_seq.py:94-156): K steps leave the host entirely — one dispatch,
@@ -137,7 +139,7 @@ def make_multi_train_step(model, cfg: GlobalConfig, tx, **kw):
         def f(s, b):
             return body(s, b, lr)
 
-        return jax.lax.scan(f, state, batches)
+        return jax.lax.scan(f, state, batches, unroll=unroll)
 
     return multi_step
 

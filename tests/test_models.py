@@ -249,11 +249,14 @@ class TestSampleMask:
         the padded batch's real rows produce bit-identical train-mode logits
         and batch_stats to the unpadded batch (dropout rates zeroed so the
         only cross-sample coupling is BatchNorm)."""
-        cfg = SMALL.replace(embd_pdrop=0.0, resid_pdrop=0.0, attn_pdrop=0.0)
+        # 64px/2x2: this test runs three full-model train-mode forwards
+        cfg = SMALL.replace(embd_pdrop=0.0, resid_pdrop=0.0, attn_pdrop=0.0,
+                            vert_anchors=2, horz_anchors=2,
+                            input_resolution=64, crop=64)
         model = BeamFuser(cfg)
-        inp = [jnp.asarray(rng.uniform(0, 255, (2, 2, 128, 128, 3)).astype(np.float32)),
-               jnp.asarray(rng.uniform(0, 1, (2, 2, 128, 128, 1)).astype(np.float32)),
-               jnp.asarray(rng.uniform(0, 1, (2, 2, 128, 128, 2)).astype(np.float32))]
+        inp = [jnp.asarray(rng.uniform(0, 255, (2, 2, 64, 64, 3)).astype(np.float32)),
+               jnp.asarray(rng.uniform(0, 1, (2, 2, 64, 64, 1)).astype(np.float32)),
+               jnp.asarray(rng.uniform(0, 1, (2, 2, 64, 64, 2)).astype(np.float32))]
         gps = jnp.asarray(rng.normal(size=(2, 2, 2)).astype(np.float32))
         v = model.init(jax.random.PRNGKey(0), *inp, gps)
 
@@ -279,16 +282,19 @@ class TestRematPolicies:
         """jax.checkpoint is semantically identity: gradients under each
         remat policy equal the unrematerialized gradients (up to recompute
         float reassociation, hence the loose rtol)."""
-        inp = (jnp.asarray(rng.uniform(0, 255, (1, 1, 128, 128, 3)).astype(np.float32)),
-               jnp.asarray(rng.uniform(0, 1, (1, 1, 128, 128, 1)).astype(np.float32)),
-               jnp.asarray(rng.uniform(0, 1, (1, 1, 128, 128, 2)).astype(np.float32)),
+        inp = (jnp.asarray(rng.uniform(0, 255, (1, 1, 64, 64, 3)).astype(np.float32)),
+               jnp.asarray(rng.uniform(0, 1, (1, 1, 64, 64, 1)).astype(np.float32)),
+               jnp.asarray(rng.uniform(0, 1, (1, 1, 64, 64, 2)).astype(np.float32)),
                jnp.asarray(rng.normal(size=(1, 2, 2)).astype(np.float32)))
 
         def grads_for(remat):
+            # 64px/2x2 anchors: smallest geometry with the reference's
+            # stage-map/anchor ratios (input_res/32 == vert_anchors) —
+            # this test compiles three full grad graphs on one CPU core.
             cfg = GlobalConfig(seq_len=1, n_layer=1, use_pallas_scan=False,
                                compute_dtype="float32", remat=remat,
-                               vert_anchors=4, horz_anchors=4,
-                               input_resolution=128, crop=128)
+                               vert_anchors=2, horz_anchors=2,
+                               input_resolution=64, crop=64)
             model = BeamFuser(cfg)
             variables = model.init(jax.random.PRNGKey(0), *inp)
 

@@ -17,12 +17,14 @@ from deepsense6g_tii_tpu.rebuild.trainer import (RebuildOptions,
 
 from synthetic_data import make_batch
 
-# 128px / 4x4-anchor geometry (same stage-map ratios as the reference
-# 256px/8x8, ~4x less CPU conv work — see tests/test_models.py).
+# 64px / 2x2-anchor geometry (same stage-map ratios as the reference
+# 256px/8x8, ~16x less CPU conv work — see tests/test_models.py; this file
+# compiles the heaviest jitted programs of the suite: the dual-LR
+# multi_transform rebuild step).
 CFG = GlobalConfig(seq_len=2, n_layer=1, use_pallas_scan=False,
                    compute_dtype="float32", modality_missing="image",
-                   vert_anchors=4, horz_anchors=4,
-                   input_resolution=128, crop=128)
+                   vert_anchors=2, horz_anchors=2,
+                   input_resolution=64, crop=64)
 
 
 class TestHeads:
@@ -88,7 +90,7 @@ class TestRebuildTrainer:
     def setup(self):
         rng = np.random.default_rng(0)
         model = BeamFuser(CFG)
-        batch = make_batch(rng, B=2, T=2, H=128, W=128)
+        batch = make_batch(rng, B=2, T=2, H=64, W=64)
         dev = {k: jnp.asarray(v) for k, v in batch.items() if k != "scenario"}
         variables = model.init(jax.random.PRNGKey(0), dev["image"],
                                dev["lidar"], dev["radar"], dev["gps"])
@@ -123,7 +125,7 @@ class TestRebuildTrainer:
     def test_rebuild_feature_shapes(self, setup):
         trainer, state, dev = setup
         rb = trainer.rebuild_features(state, dev)
-        assert rb.shape == (2 * 2, 32, 32, 64)   # (B*T, H/4, W/4, C)
+        assert rb.shape == (2 * 2, 16, 16, 64)   # (B*T, H/4, W/4, C)
 
     def test_eval_injection_changes_logits(self, setup):
         trainer, state, dev = setup

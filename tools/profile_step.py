@@ -28,6 +28,7 @@ from deepsense6g_tii_tpu.train.steps import make_train_step
 
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    K = int(os.environ.get("DEEPSENSE_BENCH_K", "1"))
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     on_tpu = jax.default_backend() == "tpu"
@@ -53,18 +54,28 @@ def main():
                            batch["gps"][:1]))()
     tx = make_optimizer()
     state = replicate(create_train_state(variables, tx), mesh)
-    step = make_train_step(model, cfg, tx, use_ema=True)
+    if K > 1:
+        from deepsense6g_tii_tpu.parallel.mesh import shard_stacked_batch
+        from deepsense6g_tii_tpu.train.steps import make_multi_train_step
+        host = jax.device_get(batch)
+        stacked = jax.tree_util.tree_map(
+            lambda x: np.broadcast_to(x, (K,) + x.shape).copy(), host)
+        batch = shard_stacked_batch(stacked, mesh)
+        step = make_multi_train_step(model, cfg, tx, use_ema=True)
+    else:
+        step = make_train_step(model, cfg, tx, use_ema=True)
     state, m = step(state, batch, 1e-4)
-    _ = float(m["loss"])                  # compile + sync
+    _ = float(np.asarray(m["loss"]).ravel()[-1])   # compile + sync
 
+    n_disp = 3 if K == 1 else 1
     trace_dir = "/tmp/xprof_step"
     jax.profiler.start_trace(trace_dir)
-    for _ in range(3):
+    for _ in range(n_disp):
         state, m = step(state, batch, 1e-4)
-        _ = float(m["loss"])
+        _ = float(np.asarray(m["loss"]).ravel()[-1])
     jax.profiler.stop_trace()
 
-    summarize(trace_dir, n_steps=3)
+    summarize(trace_dir, n_steps=n_disp * K)
 
 
 def summarize(trace_dir, n_steps=3, top=25):
