@@ -76,6 +76,17 @@ class GlobalConfig:
     # keep the scan activations stored — cheaper recompute per HBM saved)
     remat: str = "none"
 
+    def __post_init__(self):
+        # remat was a bool in early revisions; a stale True would otherwise
+        # compare unequal to every policy string and silently disable
+        # rematerialization (frozen dataclass -> object.__setattr__)
+        if isinstance(self.remat, bool):
+            object.__setattr__(self, "remat", "fusion" if self.remat
+                               else "none")
+        if self.remat not in ("none", "fusion", "conv"):
+            raise ValueError(f"remat must be 'none'|'fusion'|'conv', "
+                             f"got {self.remat!r}")
+
     @property
     def anchors(self) -> int:
         return self.vert_anchors * self.horz_anchors

@@ -31,6 +31,7 @@ from ..ops.pooling import adaptive_avg_pool, global_avg_pool
 from ..ops.resize import interpolate_bilinear
 from .fusion import TimeMamba, TokenFusion
 from .resnet import (RESNET18_BLOCKS, RESNET34_BLOCKS, STAGE_FEATURES,
+                     bn_sample_mask,
                      ResNetBackbone)
 
 STAGE_UPSAMPLE = (8, 4, 2, 1)
@@ -176,10 +177,8 @@ class FusionEncoder(nn.Module):
         cfg = self.config
         B, T = image.shape[:2]
         dtype = jnp.dtype(cfg.compute_dtype)
-        bn_mask = None
-        if sample_mask is not None:
-            bn_mask = jnp.repeat(sample_mask.astype(bool), T)[
-                :, None, None, None]
+        bn_mask = (None if sample_mask is None
+                   else bn_sample_mask(sample_mask, T))
 
         image = normalize_imagenet(image.astype(jnp.float32))
         lidar = lidar.astype(jnp.float32)

@@ -24,6 +24,15 @@ BN_MOMENTUM = 0.9   # torch momentum 0.1 == flax momentum 0.9
 BN_EPS = 1e-5
 
 
+def bn_sample_mask(sample_mask, T: int):
+    """(B,) validity mask -> (B*T, 1, 1, 1) bool BatchNorm mask for the
+    b-major batch+time-flattened conv streams.  Single source of truth for
+    the flatten order — the engine pads ragged batches and the mask keeps
+    the padded rows out of the BN batch statistics (the reference trains on
+    exact ragged batches, train2_seq.py:94-156)."""
+    return jnp.repeat(sample_mask.astype(bool), T)[:, None, None, None]
+
+
 class BasicBlock(nn.Module):
     features: int
     stride: int = 1

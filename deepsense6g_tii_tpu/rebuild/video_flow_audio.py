@@ -48,12 +48,15 @@ DEFAULT_EMD_DIMS = {"video": 2304, "flow": 2048, "audio": 512}
 # -- losses (pure, unit-testable) ---------------------------------------------
 
 def supcon_loss(features: jnp.ndarray, labels: jnp.ndarray,
-                temperature: float = 0.1) -> jnp.ndarray:
+                temperature: float = 0.1,
+                base_temperature: float = 0.07) -> jnp.ndarray:
     """Supervised contrastive loss (Khosla et al. 2020), the ``SupConLoss``
     the reference calls at train_video_flow_audio.py:363,121.
 
     features: (B, n_views, D) — one row per sample, one view per modality
-    projection; L2-normalized internally.  labels: (B,) ints.
+    projection; L2-normalized internally.  labels: (B,) ints.  The
+    canonical implementation scales by temperature/base_temperature
+    (base 0.07), which the reference inherits via SupConLoss(temp).
     """
     B, V, _ = features.shape
     f = features / jnp.maximum(
@@ -70,7 +73,7 @@ def supcon_loss(features: jnp.ndarray, labels: jnp.ndarray,
                                             1e-12))
     n_pos = jnp.maximum(pos_mask.sum(axis=1), 1)
     mean_log_prob_pos = (pos_mask * log_prob).sum(axis=1) / n_pos
-    return -mean_log_prob_pos.mean()
+    return -(temperature / base_temperature) * mean_log_prob_pos.mean()
 
 
 def normalized_translation_loss(pred: jnp.ndarray,
@@ -179,7 +182,13 @@ class VFATrainer:
             modalities=opts.modalities, emd_dims=opts.emd_dims,
             n_classes=opts.n_classes, hidden_dim=opts.hidden_dim,
             trans_hidden=opts.trans_hidden, proj_dim=opts.proj_dim)
-        self.tx = optax.adamw(opts.lr, weight_decay=1e-4)   # line 387
+        # torch.optim.Adam(lr, weight_decay=1e-4) (line 387) couples the
+        # L2 term INTO the gradient before the moment updates — optax's
+        # adamw (decoupled) is a different and much weaker regularizer at
+        # this lr.  Chain order reproduces torch Adam exactly.
+        self.tx = optax.chain(optax.add_decayed_weights(1e-4),
+                              optax.scale_by_adam(),
+                              optax.scale(-opts.lr))
         self.train_step = self._build_train_step()
         self.eval_step = self._build_eval_step()
 

@@ -155,26 +155,44 @@ class Engine:
         q: queue.Queue = queue.Queue(maxsize=depth)
         end = object()
         err: List[BaseException] = []
+        abandoned = threading.Event()
+
+        def put(item) -> bool:
+            # bounded put that notices consumer abandonment: if train_step
+            # raises and the consumer generator is closed, the worker must
+            # release its staged device buffers instead of blocking on the
+            # full queue for the life of the process
+            while not abandoned.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for item in gen_fn():
-                    q.put(item)
+                    if not put(item):
+                        return
             except BaseException as e:      # surfaced on the main thread
                 err.append(e)
             finally:
-                q.put(end)
+                put(end)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is end:
-                t.join()
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is end:
+                    t.join()
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            abandoned.set()     # consumer closed/raised: unblock the worker
 
     def _staged(self, loader: Iterable[Dict]):
         """Yields (host_batch, device_batch, n), prefetched."""
@@ -204,7 +222,11 @@ class Engine:
             hd = {k: np.asarray(v) for k, v in batch.items()
                   if k in DEVICE_KEYS}
             n = next(iter(hd.values())).shape[0]
-            nominal = n if nominal is None else nominal
+            # the group size locks to the first MESH-DIVISIBLE batch — a
+            # ragged first batch (resume mid-dataset, finetune stream) must
+            # not silently disable multi-step for the whole epoch
+            if nominal is None and n % n_dev == 0:
+                nominal = n
             if n == nominal and n % n_dev == 0:
                 buf.append((batch, hd))
                 if len(buf) == K:

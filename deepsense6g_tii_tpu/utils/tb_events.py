@@ -13,7 +13,7 @@ the training host, so this hand-encodes the two formats involved:
   float simple_value=2) — the only message shapes scalar logging needs.
 
 Files are named ``events.out.tfevents.<ts>.<host>`` so TensorBoard discovers
-them; readability is pinned by tests/test_checkpoints.py against
+them; readability is pinned by tests/test_tb_events.py against
 tensorboard's own ``EventFileLoader``.
 """
 

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from deepsense6g_tii_tpu.config import GlobalConfig
 from deepsense6g_tii_tpu.data.features import soft_beam_target_np
+from deepsense6g_tii_tpu.models.resnet import bn_sample_mask
 
 
 def make_batch(rng, B=2, T=2, H=128, W=128, radar_ch=2, num_beams=64,
@@ -49,10 +50,8 @@ class TinyFuser(nn.Module):
                  train: bool = False, sample_mask=None):
         del rebuild_feats
         B, T = image.shape[:2]
-        bn_mask = None
-        if sample_mask is not None:
-            bn_mask = jnp.repeat(sample_mask.astype(bool), T)[
-                :, None, None, None]
+        bn_mask = (None if sample_mask is None
+                   else bn_sample_mask(sample_mask, T))
 
         def enc(x, name):
             x = x.reshape((-1,) + x.shape[2:])

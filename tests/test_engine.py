@@ -12,6 +12,7 @@ import jax.numpy as jnp
 import pytest
 
 from deepsense6g_tii_tpu.config import GlobalConfig
+from deepsense6g_tii_tpu.models.resnet import bn_sample_mask
 from deepsense6g_tii_tpu.parallel.mesh import make_mesh
 from deepsense6g_tii_tpu.train.engine import (Engine, TrainOptions,
                                               save_pred_to_csv)
@@ -152,6 +153,20 @@ class TestEngineMultiStep:
                                        rtol=1e-6, atol=1e-7)
 
 
+    def test_ragged_first_batch_still_groups(self, tmp_path, rng):
+        """A ragged FIRST batch must not pin the group size and silently
+        disable multi-step dispatch for the rest of the epoch."""
+        opts = TrainOptions(logdir=str(tmp_path / "g"), epochs=1, lr=1e-3,
+                            scheduler=False, steps_per_dispatch=2,
+                            prefetch=0)
+        os.makedirs(opts.logdir, exist_ok=True)
+        eng = Engine(TinyFuser(CFG), CFG, opts, mesh=make_mesh())
+        loader = [make_batch(rng, B=5)] + \
+            [make_batch(rng, B=8) for _ in range(4)]
+        kinds = [k for k, *_ in eng._group_iter(loader)]
+        assert kinds == ["single", "multi", "multi"]
+
+
 class TestEngine:
     def _engine(self, tmp_path, rng, **opt_kw):
         opts = TrainOptions(logdir=str(tmp_path / "run"), epochs=2,
@@ -258,10 +273,8 @@ class TestPaddedBatchExactness:
                      train: bool = False, sample_mask=None):
             del rebuild_feats
             B, T = image.shape[:2]
-            bn_mask = None
-            if sample_mask is not None:
-                bn_mask = jnp.repeat(sample_mask.astype(bool), T)[
-                    :, None, None, None]
+            bn_mask = (None if sample_mask is None
+                       else bn_sample_mask(sample_mask, T))
             x = image.reshape((-1,) + image.shape[2:]) / 255.0
             x = nn.Conv(4, (8, 8), strides=(16, 16), name="c1")(x)
             x = nn.BatchNorm(use_running_average=not train,

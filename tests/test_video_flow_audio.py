@@ -24,8 +24,9 @@ def _feats(rng, B=8, dims=(10, 12, 6), modalities=("video", "flow", "audio")):
             for m, d in zip(modalities, dims)}
 
 
-def np_supcon(features, labels, temperature):
-    """NumPy oracle for Khosla et al. SupConLoss (all-views anchors)."""
+def np_supcon(features, labels, temperature, base_temperature=0.07):
+    """NumPy oracle for Khosla et al. SupConLoss (all-views anchors),
+    including the canonical temperature/base_temperature scale."""
     B, V, D = features.shape
     f = features / np.maximum(
         np.linalg.norm(features, axis=-1, keepdims=True), 1e-12)
@@ -38,7 +39,7 @@ def np_supcon(features, labels, temperature):
     log_prob = logits - np.log(exp.sum(axis=1, keepdims=True))
     pos = (lab[:, None] == lab[None, :]) & ~eye
     mean_lpp = (pos * log_prob).sum(1) / np.maximum(pos.sum(1), 1)
-    return -mean_lpp.mean()
+    return -(temperature / base_temperature) * mean_lpp.mean()
 
 
 class TestLosses:
