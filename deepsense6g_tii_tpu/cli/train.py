@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "none | fusion (checkpoint token-fusion stages) | "
                         "conv (checkpoint ResNet stages, scans stored); "
                         "0/1 alias none/fusion")
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="optimizer steps fused into one device dispatch "
+                        "(lax.scan; 1 = reference-style per-batch)")
     p.add_argument("--multihost", type=int, default=0,
                    help="jax.distributed.initialize() for multi-host DCN "
                         "training; same code, bigger ('data',) mesh")
@@ -112,8 +115,9 @@ def config_from_args(args):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.multihost:
-        import jax
-        jax.distributed.initialize()
+        from ..parallel.distributed import initialize, process_info
+        if initialize():
+            print("distributed:", process_info())
     logdir = mangle_logdir(args)
     os.makedirs(logdir, exist_ok=True)
 
@@ -136,7 +140,8 @@ def main(argv=None) -> int:
         loss=args.loss, scheduler=bool(args.scheduler),
         ema=bool(args.ema), temp_coef=bool(args.temp_coef),
         load_previous_best=bool(args.load_previous_best),
-        finetune=bool(args.finetune), clip_grad_norm=args.grad_clip)
+        finetune=bool(args.finetune), clip_grad_norm=args.grad_clip,
+        steps_per_dispatch=args.steps_per_dispatch)
 
     model = BeamFuser(cfg)
     engine = Engine(model, cfg, opts)

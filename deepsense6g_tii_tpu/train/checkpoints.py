@@ -13,17 +13,87 @@ from __future__ import annotations
 
 import json
 import os
+import queue
+import threading
 from typing import Any, Dict, Optional
 
 import flax.serialization
 import jax
+import numpy as np
 
 
-def _write(path: str, tree: Any) -> None:
+class AsyncWriter:
+    """Background checkpoint writer: serialization + disk IO happen on a
+    worker thread, off the training critical path.
+
+    The caller must pass HOST arrays (device_get happens synchronously in
+    ``_write``): the training loop donates its state buffers every step, so
+    snapshotting must complete before the next dispatch — only the msgpack
+    encode and file write are deferred.  Writes are FIFO per process
+    (single worker), and ``flush()`` blocks until everything queued has
+    landed — call it before reading back a file written this process
+    (rollback-to-best does).  Write errors surface on the next save/flush.
+    """
+
+    def __init__(self):
+        self._q: queue.Queue = queue.Queue()
+        self._err: list = []
+        self._t: Optional[threading.Thread] = None
+
+    def _worker(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            path, data = item
+            try:
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(flax.serialization.to_bytes(data))
+                os.replace(tmp, path)
+            except BaseException as e:
+                self._err.append(e)
+            finally:
+                self._q.task_done()
+
+    def submit(self, path: str, host_tree: Any) -> None:
+        if self._err:
+            raise self._err.pop(0)
+        if self._t is None or not self._t.is_alive():
+            self._t = threading.Thread(target=self._worker, daemon=True)
+            self._t.start()
+        self._q.put((path, host_tree))
+
+    def flush(self) -> None:
+        self._q.join()
+        if self._err:
+            raise self._err.pop(0)
+
+
+_ASYNC = AsyncWriter()
+
+
+def flush() -> None:
+    """Blocks until all pending async checkpoint writes have landed."""
+    _ASYNC.flush()
+
+
+def _snapshot(x):
+    """Host snapshot that never aliases the caller's buffer: device_get of
+    a jax Array already copies; a raw np.ndarray passes through by
+    reference and must be copied (the async writer serializes later, after
+    the training loop may have donated/reused the buffer)."""
+    return x.copy() if isinstance(x, np.ndarray) else jax.device_get(x)
+
+
+def _write(path: str, tree: Any, async_write: bool = False) -> None:
+    host = jax.tree_util.tree_map(_snapshot, tree)
+    if async_write:
+        _ASYNC.submit(path, host)
+        return
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
-        f.write(flax.serialization.to_bytes(
-            jax.tree_util.tree_map(lambda x: jax.device_get(x), tree)))
+        f.write(flax.serialization.to_bytes(host))
     os.replace(tmp, path)
 
 
@@ -32,9 +102,10 @@ def _read(path: str, target: Any) -> Any:
         return flax.serialization.from_bytes(target, f.read())
 
 
-def save_model(logdir: str, name: str, params, batch_stats) -> str:
+def save_model(logdir: str, name: str, params, batch_stats,
+               async_write: bool = False) -> str:
     path = os.path.join(logdir, f"{name}.msgpack")
-    _write(path, {"params": params, "batch_stats": batch_stats})
+    _write(path, {"params": params, "batch_stats": batch_stats}, async_write)
     return path
 
 
@@ -44,9 +115,11 @@ def load_model(logdir: str, name: str, params, batch_stats):
     return out["params"], out["batch_stats"]
 
 
-def save_optim(logdir: str, name: str, opt_state, ema_params) -> str:
+def save_optim(logdir: str, name: str, opt_state, ema_params,
+               async_write: bool = False) -> str:
     path = os.path.join(logdir, f"{name}.msgpack")
-    _write(path, {"opt_state": opt_state, "ema_params": ema_params})
+    _write(path, {"opt_state": opt_state, "ema_params": ema_params},
+           async_write)
     return path
 
 

@@ -55,6 +55,10 @@ class TrainOptions:
     clip_grad_norm: Optional[float] = None
     seed: int = 100
     prefetch: int = 2                # batches decoded+staged ahead (0 = off)
+    # msgpack encode + disk write on a background thread (the device->host
+    # snapshot stays synchronous — state buffers are donated every step);
+    # loads flush pending writes first, so read-after-write is safe
+    async_save: bool = True
     # optimizer steps fused into one device dispatch (lax.scan over stacked
     # batches).  >1 takes the host off the per-step critical path (the
     # reference dispatches eagerly per batch, train2_seq.py:94); ragged or
@@ -398,8 +402,12 @@ class Engine:
             save_best = True
 
         state = self.state
+        aw = self.opts.async_save
+        if aw:
+            ckpt.flush()    # land the previous epoch's writes (bounds the
+                            # queue to one epoch of checkpoints in flight)
         ckpt.save_model(self.opts.logdir, "final_model",
-                        state.params, state.batch_stats)
+                        state.params, state.batch_stats, async_write=aw)
         ckpt.write_run_record(self.opts.logdir, {
             "epoch": self.cur_epoch,
             "iter": self.cur_iter,
@@ -411,11 +419,12 @@ class Engine:
         })
         if save_best:
             ckpt.save_model(self.opts.logdir, "best_model",
-                            state.params, state.batch_stats)
+                            state.params, state.batch_stats, async_write=aw)
             ckpt.save_optim(self.opts.logdir, "best_optim",
-                            state.opt_state, state.ema_params)
+                            state.opt_state, state.ema_params, async_write=aw)
             print("====== Overwrote best model ======>")
         elif self.opts.load_previous_best:
+            ckpt.flush()            # read-after-write: land pending saves
             params, stats = ckpt.load_model(
                 self.opts.logdir, "best_model", state.params, state.batch_stats)
             opt_state, ema = ckpt.load_optim(
@@ -430,9 +439,11 @@ class Engine:
         """all_finetune_on_final_* stream keyed on train DBA
         (train2_seq.py:149-156)."""
         ckpt.save_model(self.opts.logdir, "all_finetune_on_final_model",
-                        self.state.params, self.state.batch_stats)
+                        self.state.params, self.state.batch_stats,
+                        async_write=self.opts.async_save)
         ckpt.save_optim(self.opts.logdir, "all_finetune_on_final_optim",
-                        self.state.opt_state, self.state.ema_params)
+                        self.state.opt_state, self.state.ema_params,
+                        async_write=self.opts.async_save)
 
     def resume(self) -> bool:
         """Restart-from-logdir (train2_seq.py:558-583).  Returns True if a
@@ -453,6 +464,7 @@ class Engine:
                      logdir: Optional[str] = None) -> None:
         if self.state is None:
             raise RuntimeError("init_state first (needs shapes)")
+        ckpt.flush()                # land any pending async writes
         params, stats = ckpt.load_model(
             logdir or self.opts.logdir, name, self.state.params,
             self.state.batch_stats)

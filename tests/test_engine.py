@@ -14,6 +14,7 @@ import pytest
 from deepsense6g_tii_tpu.config import GlobalConfig
 from deepsense6g_tii_tpu.models.resnet import bn_sample_mask
 from deepsense6g_tii_tpu.parallel.mesh import make_mesh
+from deepsense6g_tii_tpu.train import checkpoints as ckpt
 from deepsense6g_tii_tpu.train.engine import (Engine, TrainOptions,
                                               save_pred_to_csv)
 from deepsense6g_tii_tpu.train.state import create_train_state, make_optimizer
@@ -181,6 +182,8 @@ class TestEngine:
         eng.train(loader)
         dba = eng.validate(loader)
         eng.save()
+        ckpt.flush()      # async saves are eventually-consistent; loads and
+        # the next save() flush automatically — a direct file check must too
         assert 0.0 <= dba <= 1.0
         assert os.path.exists(os.path.join(eng.opts.logdir, "final_model.msgpack"))
         assert os.path.exists(os.path.join(eng.opts.logdir, "best_model.msgpack"))
@@ -242,6 +245,7 @@ class TestEngine:
         eng = self._engine(tmp_path, rng, finetune=True)
         loader = _loader(rng, n_batches=1, B=8)
         eng.train(loader)
+        ckpt.flush()      # finetune stream saves asynchronously too
         assert os.path.exists(os.path.join(
             eng.opts.logdir, "all_finetune_on_final_model.msgpack"))
 
