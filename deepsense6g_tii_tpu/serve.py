@@ -21,14 +21,24 @@ import numpy as np
 
 from .config import GlobalConfig
 from .models.fuser import BeamFuser
+from .parallel.mesh import batch_sharding, make_mesh, replicate
 
 
 class Predictor:
+    """``use_mesh=True`` serves over ALL local chips: the weights replicate
+    once, each request batch is sharded across the ('data',) mesh and the
+    forward runs data-parallel (bucket sizes then count per-mesh, so they
+    should be multiples of the device count).  Default single-device."""
+
     def __init__(self, variables: Dict, config: GlobalConfig,
                  batch_buckets: Sequence[int] = (1, 8),
-                 top_k: int = 3):
+                 top_k: int = 3, use_mesh: bool = False):
         self.config = config
         self.model = BeamFuser(config)
+        self.mesh = make_mesh() if use_mesh else None
+        if self.mesh is not None:
+            variables = replicate(variables, self.mesh)
+            self._in_sharding = batch_sharding(self.mesh)
         self.variables = variables
         self.buckets = tuple(sorted(batch_buckets))
         self.top_k = top_k
@@ -71,10 +81,12 @@ class Predictor:
     # -- inference -------------------------------------------------------------
 
     def _bucket(self, n: int) -> int:
+        m = self.mesh.devices.size if self.mesh is not None else 1
         for b in self.buckets:
-            if n <= b:
-                return b
-        return int(np.ceil(n / self.buckets[-1])) * self.buckets[-1]
+            if n <= b * m:
+                return b * m
+        top = self.buckets[-1] * m
+        return int(np.ceil(n / top)) * top
 
     def predict(self, image, lidar, radar, gps
                 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -88,9 +100,13 @@ class Predictor:
             lidar = np.pad(lidar, pad[: lidar.ndim])
             radar = np.pad(radar, pad[: radar.ndim])
             gps = np.pad(gps, ((0, b - n), (0, 0), (0, 0)))
-        idx, conf = self._fwd(self.variables, jnp.asarray(image),
-                              jnp.asarray(lidar), jnp.asarray(radar),
-                              jnp.asarray(gps))
+        arrs = (image, lidar, radar, gps)
+        if self.mesh is not None:
+            arrs = tuple(jax.device_put(np.asarray(a), self._in_sharding)
+                         for a in arrs)
+        else:
+            arrs = tuple(jnp.asarray(a) for a in arrs)
+        idx, conf = self._fwd(self.variables, *arrs)
         return (np.asarray(idx)[:n] + 1,        # 1-indexed, beam_pred.csv
                 np.asarray(conf)[:n, 0])
 

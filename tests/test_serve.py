@@ -60,3 +60,36 @@ class TestPredictor:
     def test_latency_benchmark(self, predictor):
         stats = predictor.latency_benchmark(batch=1, iters=3)
         assert stats["p50_ms"] > 0 and stats["p90_ms"] >= stats["p50_ms"]
+
+
+class TestMeshServing:
+    def test_mesh_matches_single_device(self, predictor, tmp_path):
+        """use_mesh=True shards request batches over the 8-device CPU mesh
+        and returns the same predictions as the single-device path."""
+        import flax.serialization
+        path = tmp_path / "m.msgpack"
+        host_vars = jax.tree_util.tree_map(np.asarray, predictor.variables)
+        with open(path, "wb") as f:
+            f.write(flax.serialization.to_bytes(host_vars))
+        mesh_pred = Predictor.from_msgpack(str(path), CFG,
+                                           batch_buckets=(1,), use_mesh=True)
+        n_dev = mesh_pred.mesh.devices.size
+        assert n_dev == 8
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 255, (n_dev, 2, 128, 128, 3)).astype(np.float32)
+        rest = _inputs(n_dev)[1:]
+        beams_m, conf_m = mesh_pred.predict(img, *rest)
+        beams_s, conf_s = predictor.predict(img, *rest)
+        np.testing.assert_array_equal(beams_m, beams_s)
+        np.testing.assert_allclose(conf_m, conf_s, rtol=1e-5, atol=1e-6)
+
+    def test_mesh_ragged_pads_to_mesh_bucket(self, predictor, tmp_path):
+        import flax.serialization
+        path = tmp_path / "m.msgpack"
+        host_vars = jax.tree_util.tree_map(np.asarray, predictor.variables)
+        with open(path, "wb") as f:
+            f.write(flax.serialization.to_bytes(host_vars))
+        mesh_pred = Predictor.from_msgpack(str(path), CFG,
+                                           batch_buckets=(1,), use_mesh=True)
+        beams, conf = mesh_pred.predict(*_inputs(3))   # 3 -> padded to 8
+        assert beams.shape == (3, 3) and conf.shape == (3,)
