@@ -116,8 +116,8 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.multihost:
         from ..parallel.distributed import initialize, process_info
-        if initialize():
-            print("distributed:", process_info())
+        initialize(require=True)     # explicit request: no silent no-op
+        print("distributed:", process_info())
     logdir = mangle_logdir(args)
     os.makedirs(logdir, exist_ok=True)
 
@@ -232,6 +232,7 @@ def main(argv=None) -> int:
         if not args.finetune:
             engine.validate(val_loader)
             engine.save()
+    ckpt.flush()    # land the final epoch's async checkpoint writes
     return 0
 
 

@@ -14,8 +14,11 @@ a host and DCN across hosts.
   TPU metadata — call with no arguments.
 * Elsewhere pass them explicitly or via env (``DEEPSENSE_COORDINATOR``,
   ``DEEPSENSE_NUM_PROCESSES``, ``DEEPSENSE_PROCESS_ID``).
-* Single-process runs (env unset, no TPU pod metadata) are a no-op, so the
-  training CLI can call it unconditionally (cli/train.py --distributed 1).
+* ``require=True`` (what ``cli/train.py --multihost 1`` passes) skips the
+  env gate and calls ``jax.distributed.initialize()`` unconditionally,
+  keeping jax's own cluster auto-detection (SLURM, Open MPI, GKE, Cloud
+  TPU metadata); the gated auto mode is for library code that must no-op
+  in single-process runs.
 """
 
 from __future__ import annotations
@@ -30,12 +33,17 @@ _initialized = False
 
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
-               process_id: Optional[int] = None) -> bool:
+               process_id: Optional[int] = None,
+               require: bool = False) -> bool:
     """Idempotent ``jax.distributed.initialize``.
 
     Returns True when a multi-process runtime was (or already is) set up,
     False for the single-process no-op.  Must run before the first jax
-    backend use in the process.
+    backend use in the process.  ``require=True`` (the user explicitly
+    asked for multi-host) bypasses the single-process gate and defers to
+    jax's full cluster auto-detection — a mis-detected environment then
+    errors loudly instead of silently training N duplicate single-process
+    runs.
     """
     global _initialized
     if _initialized:
@@ -52,7 +60,7 @@ def initialize(coordinator_address: Optional[str] = None,
 
     on_pod = any(k in os.environ for k in
                  ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS"))
-    if coordinator_address is None and not on_pod:
+    if not require and coordinator_address is None and not on_pod:
         return False        # single-process: nothing to do
 
     jax.distributed.initialize(coordinator_address=coordinator_address,

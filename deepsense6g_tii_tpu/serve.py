@@ -111,7 +111,8 @@ class Predictor:
                 np.asarray(conf)[:n, 0])
 
     def warmup(self) -> None:
-        for b in self.buckets:
+        m = self.mesh.devices.size if self.mesh is not None else 1
+        for b in (bk * m for bk in self.buckets):   # effective global sizes
             T = self.config.seq_len
             rc = 2 if self.config.add_velocity else 1
             H = self.config.crop

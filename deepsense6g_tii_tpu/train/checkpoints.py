@@ -11,6 +11,7 @@ msgpack (host-independent, no framework pickle).
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
 import queue
@@ -45,24 +46,38 @@ class AsyncWriter:
             item = self._q.get()
             if item is None:
                 return
-            path, data = item
+            path, data, encode = item
             try:
                 tmp = path + ".tmp"
                 with open(tmp, "wb") as f:
-                    f.write(flax.serialization.to_bytes(data))
+                    f.write(encode(data))
                 os.replace(tmp, path)
             except BaseException as e:
                 self._err.append(e)
             finally:
                 self._q.task_done()
 
-    def submit(self, path: str, host_tree: Any) -> None:
-        if self._err:
-            raise self._err.pop(0)
+    def _submit(self, path: str, data: Any, encode) -> None:
         if self._t is None or not self._t.is_alive():
             self._t = threading.Thread(target=self._worker, daemon=True)
             self._t.start()
-        self._q.put((path, host_tree))
+            atexit.register(self.flush)   # daemon thread: drain before exit
+        # enqueue FIRST, then surface any deferred prior-write error — the
+        # current checkpoint must not be dropped because an older unrelated
+        # write failed
+        self._q.put((path, data, encode))
+        if self._err:
+            raise self._err.pop(0)
+
+    def submit(self, path: str, host_tree: Any) -> None:
+        self._submit(path, host_tree, flax.serialization.to_bytes)
+
+    def submit_json(self, path: str, record: Any) -> None:
+        """Queue a small JSON artifact BEHIND pending binary writes (FIFO):
+        used for the run record so it never points at weights that have not
+        landed yet (crash consistency).  Same bytes as the sync path
+        (reference recent.log format: bare json.dumps)."""
+        self._submit(path, record, lambda r: json.dumps(r).encode())
 
     def flush(self) -> None:
         self._q.join()
@@ -129,9 +144,17 @@ def load_optim(logdir: str, name: str, opt_state, ema_params):
     return out["opt_state"], out["ema_params"]
 
 
-def write_run_record(logdir: str, record: Dict) -> None:
-    """recent.log with the reference's exact schema (train2_seq.py:264-279)."""
-    with open(os.path.join(logdir, "recent.log"), "w") as f:
+def write_run_record(logdir: str, record: Dict,
+                     async_write: bool = False) -> None:
+    """recent.log with the reference's exact schema (train2_seq.py:264-279).
+
+    ``async_write`` queues it behind the pending checkpoint writes (FIFO),
+    so the record on disk never references weights that have not landed."""
+    path = os.path.join(logdir, "recent.log")
+    if async_write:
+        _ASYNC.submit_json(path, record)
+        return
+    with open(path, "w") as f:
         f.write(json.dumps(record))
 
 

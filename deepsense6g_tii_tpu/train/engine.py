@@ -416,7 +416,7 @@ class Engine:
             "train_loss": self.train_loss,
             "val_loss": self.val_loss,
             "DBA": self.DBA,
-        })
+        }, async_write=aw)
         if save_best:
             ckpt.save_model(self.opts.logdir, "best_model",
                             state.params, state.batch_stats, async_write=aw)
