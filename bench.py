@@ -102,5 +102,19 @@ def main():
     }))
 
 
+def _run_with_retry():
+    # the axon tunnel occasionally throws transient INVALID_ARGUMENT after
+    # heavy donation churn (CLAUDE.md); one retry keeps a flake from
+    # recording as a benchmark failure
+    try:
+        main()
+    except Exception as e:          # noqa: BLE001 - deliberate broad retry
+        import traceback
+        print(f"bench attempt 1 failed ({type(e).__name__}); retrying once",
+              flush=True)
+        traceback.print_exc()
+        main()
+
+
 if __name__ == "__main__":
-    main()
+    _run_with_retry()
