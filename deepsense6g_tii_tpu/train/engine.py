@@ -284,7 +284,7 @@ class Engine:
                 pred_all.append((m["ranks"], n))
             for b in batches:
                 gt_all.append(np.asarray(b["beamidx"]))
-            self.timer.tick()
+            self.timer.tick(len(batches))
             num_batches += len(batches)
             self.cur_iter += len(batches)
         loss_epoch = float(np.concatenate(

@@ -77,6 +77,24 @@ class TestProfiling:
         assert s["step_ms_p50"] >= 2.0
         assert s["samples_per_sec"] > 0
 
+    def test_step_timer_multi_step_normalizes(self):
+        """tick(n_steps=K) dispatches report per-optimizer-step times and
+        count K steps toward throughput (engine steps_per_dispatch)."""
+        t = StepTimer()
+        import time
+        t.tick()
+        for _ in range(3):
+            time.sleep(0.004)
+            t.tick(n_steps=4)
+        s = t.stats(batch_size=2)
+        assert s["steps"] == 12
+        assert s["step_ms_p50"] >= 0.9        # ~4 ms / 4 steps
+        single = StepTimer()
+        single.tick()
+        time.sleep(0.004)
+        single.tick()
+        assert s["step_ms_p50"] < single.stats()["step_ms_p50"]
+
     def test_empty_stats(self):
         assert StepTimer().stats() == {}
 
