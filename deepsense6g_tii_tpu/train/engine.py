@@ -109,9 +109,13 @@ class Engine:
         if self.cfg.modality_missing_type == "randlike" and \
                 self.cfg.modality_missing is not None:
             rngs["missing"] = jax.random.PRNGKey(self.opts.seed + 1)
-        variables = self.model.init(
-            rngs, batch["image"][:1], batch["lidar"][:1],
-            batch["radar"][:1], batch["gps"][:1])
+        # jitted init: one compiled program (persistent-cache friendly)
+        # instead of thousands of eager op dispatches — eager full-model
+        # init costs ~20 s on a 1-core host and minutes through a device
+        # tunnel
+        args = tuple(np.asarray(batch[k][:1])
+                     for k in ("image", "lidar", "radar", "gps"))
+        variables = jax.jit(lambda: self.model.init(rngs, *args))()
         state = create_train_state(variables, self.tx)
         self.state = replicate(state, self.mesh)
         return self.state

@@ -139,3 +139,13 @@ def make_fake_dataset_tree(root, scenarios=("scenario31", "scenario32"),
         w.writerow(header)
         w.writerows(rows)
     return csv_name
+
+
+def jinit(model, *args, key=0, **kw):
+    """jit-compiled model.init: eager init executes thousands of tiny ops
+    (~10-25 s per full-model init on this 1-core host) and is uncacheable;
+    the jitted version lands in the persistent compile cache, so repeat
+    suite runs pay ~1 s."""
+    import jax as _jax
+    return _jax.jit(
+        lambda: model.init(_jax.random.PRNGKey(key), *args, **kw))()

@@ -248,7 +248,8 @@ class _RefTransFuser(tnn.Module):
 def _randomized_variables(model, inp, seed=0):
     """Random params + non-trivial BN stats (zeros/ones would hide bugs in
     the pos_emb and BN-stat mappings)."""
-    variables = model.init(jax.random.PRNGKey(seed), *inp)
+    from synthetic_data import jinit
+    variables = jinit(model, *inp, key=seed)
     rng = np.random.default_rng(seed)
 
     def perturb(x):

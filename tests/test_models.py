@@ -13,6 +13,8 @@ from deepsense6g_tii_tpu.models.resnet import (RESNET18_BLOCKS, ResNetBackbone)
 from deepsense6g_tii_tpu.models.torch_port import (convert_resnet_state_dict,
                                                    graft_backbone)
 
+from synthetic_data import jinit
+
 
 def _build_torch_resnet18(in_ch=3):
     """Minimal torchvision-compatible ResNet18 (BasicBlock) in raw torch,
@@ -168,7 +170,7 @@ class TestBeamFuser:
     def test_forward_small(self, rng):
         model = BeamFuser(SMALL)
         inp = _inputs()
-        v = model.init(jax.random.PRNGKey(0), *inp)
+        v = jinit(model, *inp)
         logits = model.apply(v, *inp, train=False)
         assert logits.shape == (1, 64)
         assert np.isfinite(np.asarray(logits)).all()
@@ -184,14 +186,14 @@ class TestBeamFuser:
     def test_radar_single_channel(self):
         model = BeamFuser(SMALL.replace(add_velocity=0))
         inp = _inputs(radar_ch=1)
-        v = model.init(jax.random.PRNGKey(0), *inp)
+        v = jinit(model, *inp)
         assert model.apply(v, *inp).shape == (1, 64)
 
     def test_multistep_decoder(self):
         cfg = SMALL.replace(pred_len=3)
         model = BeamFuser(cfg)
         inp = _inputs()
-        v = model.init(jax.random.PRNGKey(0), *inp)
+        v = jinit(model, *inp)
         out = model.apply(v, *inp)
         assert out.shape == (1, 3, 64)
 
@@ -201,7 +203,7 @@ class TestBeamFuser:
         miss = BeamFuser(SMALL.replace(modality_missing="image"))
         img = jnp.asarray(rng.uniform(0, 255, (1, 2, 128, 128, 3)).astype(np.float32))
         rest = _inputs()[1:]
-        v = base.init(jax.random.PRNGKey(0), img, *rest)
+        v = jinit(base, img, *rest)
         a = base.apply(v, img, *rest)
         b = miss.apply(v, img, *rest)
         assert float(jnp.abs(a - b).max()) > 1e-6
@@ -218,7 +220,7 @@ class TestBeamFuser:
     def test_stage1_feature_tap(self):
         model = BeamFuser(SMALL)
         inp = _inputs()
-        v = model.init(jax.random.PRNGKey(0), *inp)
+        v = jinit(model, *inp)
         fused, feats = model.apply(v, *inp, method=model.encode_stage1)
         assert fused.shape == (1, 512)
         assert len(feats) == 3
@@ -230,7 +232,7 @@ class TestGraft:
         import torch
         model = BeamFuser(SMALL)
         inp = _inputs()
-        v = model.init(jax.random.PRNGKey(0), *inp)
+        v = jinit(model, *inp)
         net = _build_torch_resnet18()
         p, s = convert_resnet_state_dict(net.state_dict(), port_conv1=False)
         v2 = graft_backbone(v, "lidar_encoder", p, s)
@@ -258,7 +260,7 @@ class TestSampleMask:
                jnp.asarray(rng.uniform(0, 1, (2, 2, 64, 64, 1)).astype(np.float32)),
                jnp.asarray(rng.uniform(0, 1, (2, 2, 64, 64, 2)).astype(np.float32))]
         gps = jnp.asarray(rng.normal(size=(2, 2, 2)).astype(np.float32))
-        v = model.init(jax.random.PRNGKey(0), *inp, gps)
+        v = jinit(model, *inp, gps)
 
         pad = [jnp.concatenate([x, x[-1:]], axis=0) for x in inp]
         gps_pad = jnp.concatenate([gps, gps[-1:]], axis=0)
@@ -296,7 +298,7 @@ class TestRematPolicies:
                                vert_anchors=2, horz_anchors=2,
                                input_resolution=64, crop=64)
             model = BeamFuser(cfg)
-            variables = model.init(jax.random.PRNGKey(0), *inp)
+            variables = jinit(model, *inp)
 
             def loss(params):
                 out = model.apply(

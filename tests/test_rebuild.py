@@ -15,7 +15,7 @@ from deepsense6g_tii_tpu.rebuild.trainer import (RebuildOptions,
                                                  RebuildTrainer,
                                                  split_encoder_checkpoint)
 
-from synthetic_data import make_batch
+from synthetic_data import jinit, make_batch
 
 # 64px / 2x2-anchor geometry (same stage-map ratios as the reference
 # 256px/8x8, ~16x less CPU conv work — see tests/test_models.py; this file
@@ -92,8 +92,8 @@ class TestRebuildTrainer:
         model = BeamFuser(CFG)
         batch = make_batch(rng, B=2, T=2, H=64, W=64)
         dev = {k: jnp.asarray(v) for k, v in batch.items() if k != "scenario"}
-        variables = model.init(jax.random.PRNGKey(0), dev["image"],
-                               dev["lidar"], dev["radar"], dev["gps"])
+        variables = jinit(model, dev["image"], dev["lidar"],
+                          dev["radar"], dev["gps"])
         opts = RebuildOptions(source_domain=("lidar", "radar"),
                               target_domain="image")
         trainer = RebuildTrainer(model, CFG, opts)

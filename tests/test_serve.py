@@ -29,7 +29,8 @@ def predictor(tmp_path_factory):
     from deepsense6g_tii_tpu.models.fuser import BeamFuser
     model = BeamFuser(CFG)
     inp = _inputs(1)
-    v = model.init(jax.random.PRNGKey(0), *[np.asarray(x) for x in inp])
+    from synthetic_data import jinit
+    v = jinit(model, *[np.asarray(x) for x in inp])
     path = tmp_path_factory.mktemp("ckpt") / "best_model.msgpack"
     with open(path, "wb") as f:
         f.write(flax.serialization.to_bytes(
