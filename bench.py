@@ -45,9 +45,14 @@ def main():
     K = int(os.environ.get("DEEPSENSE_BENCH_K", 8 if on_tpu else 1))
     T = 5
 
+    # DEEPSENSE_BENCH_ARCH=gpt benches the GPT TransFuser (the 0.6671
+    # challenge winner, no Mamba) instead of the flagship MambaFuser
+    arch = os.environ.get("DEEPSENSE_BENCH_ARCH", "mamba")
     cfg = GlobalConfig(use_pallas_scan=on_tpu,
                        compute_dtype="bfloat16" if on_tpu else "float32",
-                       remat=os.environ.get("DEEPSENSE_BENCH_REMAT", "none"))
+                       remat=os.environ.get("DEEPSENSE_BENCH_REMAT", "none"),
+                       FFM=0 if arch == "gpt" else 1,
+                       TFM=0 if arch == "gpt" else 1)
     model = BeamFuser(cfg)
     rng = np.random.default_rng(0)
     batch = {
@@ -94,8 +99,9 @@ def main():
 
     sps_chip = B / dt / n_chips
     print(json.dumps({
-        "metric": "fused 4-modal train samples/sec/chip (MambaFuser, bs "
-                  f"{B}, {K} step(s)/dispatch, {n_chips} chip(s))",
+        "metric": "fused 4-modal train samples/sec/chip "
+                  f"({'GPT TransFuser' if arch == 'gpt' else 'MambaFuser'}, "
+                  f"bs {B}, {K} step(s)/dispatch, {n_chips} chip(s))",
         "value": round(sps_chip, 3),
         "unit": "samples/sec/chip",
         "vs_baseline": round(sps_chip / BASELINE_SAMPLES_PER_SEC_PER_CHIP, 2),
