@@ -176,7 +176,7 @@ def _fwd_kernel_chunked(u_ref, dt_ref, b_ref, c_ref, at_ref,
 
     hin_ref[0, 0] = h_scr[...]
 
-    A_t = at_ref[...]                                      # (n, BD)
+    A_t = at_ref[0]                                        # (n, BD)
     dt = dt_ref[0].astype(jnp.float32)                     # (BL, BD)
     u = u_ref[0].astype(jnp.float32)
     Bv = b_ref[0].astype(jnp.float32)                      # (BL, n)
@@ -202,7 +202,7 @@ def _fwd_kernel_sequential(u_ref, dt_ref, b_ref, c_ref, at_ref,
     def _():
         h_scr[...] = jnp.zeros_like(h_scr)
 
-    a_t_full = at_ref[...]                                 # (n, BD)
+    a_t_full = at_ref[0]                                   # (n, BD)
     hin_ref[0, 0] = h_scr[...]
 
     def step(t, h):
@@ -224,12 +224,16 @@ def _fwd_kernel_sequential(u_ref, dt_ref, b_ref, c_ref, at_ref,
 
 
 def _scan_fwd_pallas(u, dt, B, C, A_t, variant, interpret=False):
+    """A_t: (G, n, d) — G parameter groups over equal batch slices (G=1 is
+    the plain shared-A scan; G=2 is the merged bi-directional MambaBlock
+    call, both direction branches in one kernel launch)."""
     b, L, d = u.shape
     n = B.shape[-1]
     BD = min(FWD_BD, d)
     nc = L // BL
     nd = d // BD
     grid = (b, nd, nc)
+    bg = b // A_t.shape[0]          # batch rows per parameter group
     kernel = (_fwd_kernel_chunked if variant == "chunked"
               else _fwd_kernel_sequential)
 
@@ -241,7 +245,7 @@ def _scan_fwd_pallas(u, dt, B, C, A_t, variant, interpret=False):
             pl.BlockSpec((1, BL, BD), lambda i, j, k: (i, k, j)),   # dt
             pl.BlockSpec((1, BL, n), lambda i, j, k: (i, k, 0)),    # B
             pl.BlockSpec((1, BL, n), lambda i, j, k: (i, k, 0)),    # C
-            pl.BlockSpec((n, BD), lambda i, j, k: (0, j)),          # A.T
+            pl.BlockSpec((1, n, BD), lambda i, j, k: (i // bg, 0, j)),  # A.T
         ],
         out_specs=[
             pl.BlockSpec((1, BL, BD), lambda i, j, k: (i, k, j)),       # y
@@ -279,7 +283,7 @@ def _bwd_kernel_chunked(u_ref, dt_ref, b_ref, c_ref, at_ref, hin_ref, dy_ref,
     def _():
         g_scr[...] = jnp.zeros_like(g_scr)
 
-    A_t = at_ref[...]                                      # (n, BD)
+    A_t = at_ref[0]                                        # (n, BD)
     dt = dt_ref[0].astype(jnp.float32)                     # (BL, BD)
     u = u_ref[0].astype(jnp.float32)
     dy = dy_ref[0].astype(jnp.float32)                     # (BL, BD)
@@ -365,6 +369,7 @@ def _scan_bwd_pallas(u, dt, B, C, A_t, h_in, dy, interpret=False):
     nc = L // BL
     nd = d // BD
     grid = (b, nd, nc)
+    bg = b // A_t.shape[0]          # batch rows per parameter group
 
     def rev(i, j, k):
         return (i, nc - 1 - k, j)
@@ -377,7 +382,7 @@ def _scan_bwd_pallas(u, dt, B, C, A_t, h_in, dy, interpret=False):
             pl.BlockSpec((1, BL, BD), rev),                            # dt
             pl.BlockSpec((1, BL, n), lambda i, j, k: (i, nc - 1 - k, 0)),
             pl.BlockSpec((1, BL, n), lambda i, j, k: (i, nc - 1 - k, 0)),
-            pl.BlockSpec((n, BD), lambda i, j, k: (0, j)),             # A.T
+            pl.BlockSpec((1, n, BD), lambda i, j, k: (i // bg, 0, j)),  # A.T
             pl.BlockSpec((1, 1, n, BD),
                          lambda i, j, k: (i, nc - 1 - k, 0, j)),       # h_in
             pl.BlockSpec((1, BL, BD), rev),                            # dy
@@ -406,8 +411,9 @@ def _scan_bwd_pallas(u, dt, B, C, A_t, h_in, dy, interpret=False):
 
     dB = dB_p.sum(axis=1)                           # (b, L, n)
     dC = dC_p.sum(axis=1)
-    dA = dA_p.sum(axis=0)                           # (n, d)
-    return du, ddt, dB, dC, dA.T
+    G = A_t.shape[0]
+    dA = dA_p.reshape(G, bg, n, d).sum(axis=1)      # (G, n, d)
+    return du, ddt, dB, dC, dA.transpose(0, 2, 1)   # dA: (G, d, n)
 
 
 # ---------------------------------------------------------------------------
@@ -430,6 +436,12 @@ def selective_scan(u, dt, A, B, C, interpret=False, variant="chunked"):
     d must be a multiple of 128; L is padded internally to a multiple of BL.
     ``interpret=True`` runs the kernels in interpreter mode (CPU tests).
 
+    A may be (d, n) — shared over the batch — or (G, d, n) with G parameter
+    groups over equal slices of the batch: rows ``u[g*b//G:(g+1)*b//G]``
+    scan under ``A[g]``.  The grouped form lets a bi-directional MambaBlock
+    run both of its direction branches (different A params) in ONE kernel
+    launch by stacking them on the batch axis (models/fusion.py).
+
     u/B/C may be bfloat16: the kernels cast per-chunk in VMEM (all compute
     and carries are f32, y is f32) and return du/dB/dC in the input dtype —
     exactly what the caller's mixed-precision boundary would do anyway,
@@ -451,10 +463,11 @@ def _fwd_impl(u, dt, A, B, C, interpret, variant):
     b, L, d = u.shape
     pad = _pad_len(L)
     up, dtp, Bp, Cp = (_pad_seq(x, pad) for x in (u, dt, B, C))
-    A_t = A.T                                       # (n, d)
+    grouped = A.ndim == 3
+    A_t = (A if grouped else A[None]).transpose(0, 2, 1)   # (G, n, d)
     y, h_in, _ = _scan_fwd_pallas(up, dtp, Bp, Cp, A_t, variant,
                                   interpret=interpret)
-    return y[:, :L], (up, dtp, Bp, Cp, A_t, h_in, L)
+    return y[:, :L], (up, dtp, Bp, Cp, A_t, h_in, L, grouped)
 
 
 def _fwd_rule(u, dt, A, B, C, interpret, variant):
@@ -464,14 +477,14 @@ def _fwd_rule(u, dt, A, B, C, interpret, variant):
 
 def _bwd_rule(interpret, variant, res, dy):
     del variant  # backward is always chunked
-    up, dtp, Bp, Cp, A_t, h_in, L = res
+    up, dtp, Bp, Cp, A_t, h_in, L, grouped = res
     pad = up.shape[1] - L
     dyp = _pad_seq(dy.astype(jnp.float32), pad)
     du, ddt, dB, dC, dA = _scan_bwd_pallas(
         up, dtp, Bp, Cp, A_t, h_in, dyp, interpret=interpret)
     # grads must match primal dtypes; dB/dC partials are summed in f32
     # across channel blocks first, then rounded once.
-    return (du[:, :L], ddt[:, :L], dA,
+    return (du[:, :L], ddt[:, :L], dA if grouped else dA[0],
             dB[:, :L].astype(Bp.dtype), dC[:, :L].astype(Cp.dtype))
 
 

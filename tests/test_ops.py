@@ -91,6 +91,43 @@ class TestSelectiveScanPallas:
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                    rtol=1e-4, atol=1e-4)
 
+    def test_grouped_A_matches_per_group_ref(self, rng):
+        """A of shape (2, d, n): batch halves scan under different A params
+        (the merged bi-directional MambaBlock call, one kernel launch)."""
+        u, dt, A0, B, C = _scan_inputs(rng, b=4, L=300)
+        A1 = jnp.asarray(
+            -np.abs(rng.normal(size=A0.shape)).astype(np.float32))
+        A = jnp.stack([A0, A1])
+        y = selective_scan(u, dt, A, B, C, True)
+        y0 = selective_scan_ref(u[:2], dt[:2], A0, B[:2], C[:2])
+        y1 = selective_scan_ref(u[2:], dt[2:], A1, B[2:], C[2:])
+        np.testing.assert_allclose(np.asarray(y),
+                                   np.asarray(jnp.concatenate([y0, y1])),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_grouped_A_gradients(self, rng):
+        u, dt, A0, B, C = _scan_inputs(rng, b=2, L=256)
+        A1 = jnp.asarray(
+            -np.abs(rng.normal(size=A0.shape)).astype(np.float32))
+        A = jnp.stack([A0, A1])
+
+        def loss_grouped(u_, dt_, A_, B_, C_):
+            return (selective_scan(u_, dt_, A_, B_, C_, True) ** 2).sum()
+
+        def loss_ref(u_, dt_, A_, B_, C_):
+            y0 = selective_scan_ref(u_[:1], dt_[:1], A_[0], B_[:1], C_[:1])
+            y1 = selective_scan_ref(u_[1:], dt_[1:], A_[1], B_[1:], C_[1:])
+            return (y0 ** 2).sum() + (y1 ** 2).sum()
+
+        g_pal = jax.grad(loss_grouped, argnums=(0, 1, 2, 3, 4))(u, dt, A, B, C)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(u, dt, A, B, C)
+        assert g_pal[2].shape == (2,) + A0.shape
+        for gp, gr in zip(g_pal, g_ref):
+            scale = max(float(jnp.abs(gr).max()), 1e-6)
+            np.testing.assert_allclose(np.asarray(gp) / scale,
+                                       np.asarray(gr) / scale,
+                                       rtol=2e-4, atol=2e-5)
+
 
 class TestMambaLayer:
     def test_shapes_and_grad(self, rng):
