@@ -25,7 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.mamba import Mamba
+from ..ops.mamba import Mamba, bidirectional_scan
 
 _DENSE_INIT = nn.initializers.normal(stddev=0.02)  # GPT _init_weights
 
@@ -108,9 +108,17 @@ class MambaBlock(nn.Module):
             d_model=self.n_embd, d_state=self.d_state, d_conv=self.d_conv,
             expand=self.expand, use_pallas=self.use_pallas,
             compute_dtype=self.dtype, name=name)
-        x_fm = mamba("forward_mamba")(x_fc1)
+        fm = mamba("forward_mamba")
+        bm = mamba("backward_mamba")
         x_flip = jnp.flip(x_fc1, axis=1)
-        x_bm = mamba("backward_mamba")(x_flip)
+        # both direction scans in one grouped-A pallas launch (ops/mamba.py);
+        # identical math to fm(x_fc1) / bm(x_flip), halves the kernel calls
+        pre_f = fm.pre_scan(x_fc1)
+        pre_b = bm.pre_scan(x_flip)
+        y_f, y_b = bidirectional_scan(pre_f, pre_b,
+                                      use_kernel=fm.kernel_eligible())
+        x_fm = fm.post_scan(y_f, pre_f).astype(x_fc1.dtype)
+        x_bm = bm.post_scan(y_b, pre_b).astype(x_fc1.dtype)
         x_fc2 = nn.Dense(self.n_embd, kernel_init=_DENSE_INIT,
                          dtype=self.dtype, name="fc2")(x_flip)
         x_relu = nn.leaky_relu(x_fc2, negative_slope=0.2)

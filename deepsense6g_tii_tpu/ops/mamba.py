@@ -13,12 +13,18 @@ used by the reference (mambafuser_seq.py:83-90,240; model2_seq.py:146-153):
 TPU mapping: all projections are MXU matmuls (bf16-friendly), the conv is a
 tiny depthwise conv XLA fuses, and the scan is the Pallas kernel from
 ``selective_scan.py`` (reference associative scan on non-TPU backends).
+
+The layer is split into ``pre_scan`` (everything up to the scan) and
+``post_scan`` (D skip + gate + out_proj) so a bi-directional MambaBlock can
+stack both of its direction branches on the batch axis and run ONE grouped
+selective-scan kernel launch for the pair (:func:`bidirectional_scan`),
+halving the per-step pallas call count.
 """
 
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +54,17 @@ def _a_log_init(d_state):
     return init
 
 
+class ScanInputs(NamedTuple):
+    """Everything :func:`Mamba.post_scan` / the scan itself needs."""
+
+    xs: jnp.ndarray       # (B, L, d_inner) conv+silu activations
+    dt: jnp.ndarray       # (B, L, d_inner) f32 softplus'd step sizes
+    B: jnp.ndarray        # (B, L, d_state)
+    C: jnp.ndarray        # (B, L, d_state)
+    z: jnp.ndarray        # (B, L, d_inner) gate branch
+    A: jnp.ndarray        # (d_inner, d_state) f32, -exp(A_log)
+
+
 class Mamba(nn.Module):
     """Selective-state-space sequence layer over (B, L, d_model)."""
 
@@ -67,57 +84,102 @@ class Mamba(nn.Module):
     def _dt_rank(self) -> int:
         return self.dt_rank or math.ceil(self.d_model / 16)
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        b, L, _ = x.shape
+    def setup(self):
+        d_inner = self._d_inner
+        cdt = self.compute_dtype
+        # submodule names come from the attribute names (flax setup rule)
+        # and must stay "in_proj"/"x_proj"/"out_proj" for checkpoint parity.
+        self.in_proj = nn.Dense(2 * d_inner, use_bias=False, dtype=cdt)
+        self.x_proj = nn.Dense(self._dt_rank + 2 * self.d_state,
+                               use_bias=False, dtype=cdt)
+        self.out_proj = nn.Dense(self.d_model, use_bias=False, dtype=cdt)
+        self.conv1d_weight = self.param(
+            "conv1d_weight", nn.initializers.lecun_normal(),
+            (self.d_conv, 1, d_inner))          # (width, in/groups=1, features)
+        self.conv1d_bias = self.param("conv1d_bias", nn.initializers.zeros,
+                                      (d_inner,))
+        self.dt_proj_weight = self.param(
+            "dt_proj_weight",
+            lambda key, shape, dtype=jnp.float32: jax.random.uniform(
+                key, shape, dtype, -self._dt_rank**-0.5,
+                self._dt_rank**-0.5),
+            (self._dt_rank, self._d_inner))
+        self.dt_proj_bias = self.param("dt_proj_bias", _dt_proj_bias_init(),
+                                       (d_inner,))
+        self.A_log = self.param("A_log", _a_log_init(self.d_state),
+                                (d_inner, self.d_state))
+        self.D = self.param("D", nn.initializers.ones, (d_inner,))
+
+    def kernel_eligible(self) -> bool:
+        """True when __call__ would take the Pallas kernel path."""
+        return (self.use_pallas and self._d_inner % 128 == 0
+                and jax.default_backend() == "tpu")
+
+    def pre_scan(self, x: jnp.ndarray) -> ScanInputs:
+        """Projections + causal conv: everything up to the selective scan."""
+        cdt = self.compute_dtype
         d_inner = self._d_inner
         dt_rank = self._dt_rank
-        cdt = self.compute_dtype
 
-        xz = nn.Dense(2 * d_inner, use_bias=False, name="in_proj",
-                      dtype=cdt)(x.astype(cdt))
+        xz = self.in_proj(x.astype(cdt))
         xs, z = jnp.split(xz, 2, axis=-1)
 
         # causal depthwise conv over time: (B, L, d_inner), left-pad d_conv-1
-        conv_w = self.param(
-            "conv1d_weight",
-            nn.initializers.lecun_normal(),
-            (self.d_conv, 1, d_inner))          # (width, in/groups=1, features)
-        conv_b = self.param("conv1d_bias", nn.initializers.zeros, (d_inner,))
         xs = jax.lax.conv_general_dilated(
-            xs.astype(cdt), conv_w.astype(cdt),
+            xs.astype(cdt), self.conv1d_weight.astype(cdt),
             window_strides=(1,),
             padding=[(self.d_conv - 1, 0)],
             dimension_numbers=("NHC", "HIO", "NHC"),
             feature_group_count=d_inner,
-        ) + conv_b.astype(cdt)
+        ) + self.conv1d_bias.astype(cdt)
         xs = jax.nn.silu(xs)
 
-        x_dbl = nn.Dense(dt_rank + 2 * self.d_state, use_bias=False,
-                         name="x_proj", dtype=cdt)(xs)
-        dt, B, C = jnp.split(x_dbl, [dt_rank, dt_rank + self.d_state], axis=-1)
-
-        def _dt_w_init(key, shape, dtype=jnp.float32):
-            std = dt_rank**-0.5
-            return jax.random.uniform(key, shape, dtype, -std, std)
-
-        dt_w = self.param("dt_proj_weight", _dt_w_init, (dt_rank, d_inner))
-        dt_b = self.param("dt_proj_bias", _dt_proj_bias_init(), (d_inner,))
+        x_dbl = self.x_proj(xs)
+        dt, B, C = jnp.split(x_dbl, [dt_rank, dt_rank + self.d_state],
+                             axis=-1)
         dt = jax.nn.softplus(
-            dt.astype(jnp.float32) @ dt_w.astype(jnp.float32) + dt_b)
+            dt.astype(jnp.float32) @ self.dt_proj_weight.astype(jnp.float32)
+            + self.dt_proj_bias)
+        A = -jnp.exp(self.A_log.astype(jnp.float32))
+        return ScanInputs(xs=xs, dt=dt, B=B, C=C, z=z, A=A)
 
-        A_log = self.param("A_log", _a_log_init(self.d_state),
-                           (d_inner, self.d_state))
-        D = self.param("D", nn.initializers.ones, (d_inner,))
-        A = -jnp.exp(A_log.astype(jnp.float32))
+    def post_scan(self, y: jnp.ndarray, pre: ScanInputs) -> jnp.ndarray:
+        """D skip + silu(z) gate + out_proj (y is the f32 scan output)."""
+        y = y + self.D.astype(jnp.float32) * pre.xs.astype(jnp.float32)
+        y = y * jax.nn.silu(pre.z.astype(jnp.float32))
+        return self.out_proj(y.astype(self.compute_dtype))
 
-        if self.use_pallas and xs.shape[-1] % 128 == 0 and \
-                jax.default_backend() == "tpu":
-            y = selective_scan(xs, dt, A, B, C)
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pre = self.pre_scan(x)
+        if self.kernel_eligible():
+            y = selective_scan(pre.xs, pre.dt, pre.A, pre.B, pre.C)
         else:
-            y = selective_scan_ref(xs, dt, A, B, C)
-        y = y + D.astype(jnp.float32) * xs.astype(jnp.float32)
-        y = y * jax.nn.silu(z.astype(jnp.float32))
+            y = selective_scan_ref(pre.xs, pre.dt, pre.A, pre.B, pre.C)
+        return self.post_scan(y, pre).astype(x.dtype)
 
-        return nn.Dense(self.d_model, use_bias=False, name="out_proj",
-                        dtype=cdt)(y.astype(cdt)).astype(x.dtype)
+
+def bidirectional_scan(pre_f: ScanInputs, pre_b: ScanInputs,
+                       use_kernel: bool, interpret: bool = False):
+    """Run two direction branches' selective scans in ONE kernel launch.
+
+    Stacks the branches on the batch axis and passes their (different) A
+    params as a (2, d, n) group to the grouped-A kernel
+    (selective_scan.py).  Returns (y_forward, y_backward), each f32
+    (B, L, d_inner).  With ``use_kernel=False`` falls back to two
+    associative-scan reference calls (non-TPU backends) — batch-stacking
+    the O(L log L) reference buys nothing and the grouped form needs the
+    Pallas layout anyway.
+    """
+    if not use_kernel:
+        return (selective_scan_ref(pre_f.xs, pre_f.dt, pre_f.A, pre_f.B,
+                                   pre_f.C),
+                selective_scan_ref(pre_b.xs, pre_b.dt, pre_b.A, pre_b.B,
+                                   pre_b.C))
+    b = pre_f.xs.shape[0]
+    u2 = jnp.concatenate([pre_f.xs, pre_b.xs], axis=0)
+    dt2 = jnp.concatenate([pre_f.dt, pre_b.dt], axis=0)
+    B2 = jnp.concatenate([pre_f.B, pre_b.B], axis=0)
+    C2 = jnp.concatenate([pre_f.C, pre_b.C], axis=0)
+    A2 = jnp.stack([pre_f.A, pre_b.A])
+    y2 = selective_scan(u2, dt2, A2, B2, C2, interpret=interpret)
+    return y2[:b], y2[b:]

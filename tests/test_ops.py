@@ -8,7 +8,8 @@ import pytest
 
 from deepsense6g_tii_tpu.ops.selective_scan import (selective_scan,
                                                     selective_scan_ref)
-from deepsense6g_tii_tpu.ops.mamba import Mamba
+from deepsense6g_tii_tpu.ops.mamba import (Mamba, ScanInputs,
+                                           bidirectional_scan)
 from deepsense6g_tii_tpu.ops.pooling import (adaptive_avg_pool,
                                              global_avg_pool, max_pool_3x3s2)
 from deepsense6g_tii_tpu.ops.resize import interpolate_bilinear
@@ -127,6 +128,35 @@ class TestSelectiveScanPallas:
             np.testing.assert_allclose(np.asarray(gp) / scale,
                                        np.asarray(gr) / scale,
                                        rtol=2e-4, atol=2e-5)
+
+
+class TestBidirectionalScan:
+    def _pres(self, rng):
+        pres = []
+        for _ in range(2):
+            u, dt, A, B, C = _scan_inputs(rng, b=2, L=300)
+            z = jnp.asarray(rng.normal(size=u.shape).astype(np.float32))
+            pres.append(ScanInputs(xs=u, dt=dt, B=B, C=C, z=z, A=A))
+        return pres
+
+    def test_merged_kernel_equals_separate(self, rng):
+        """The MambaBlock merge bookkeeping (batch stacking + (2,d,n) A
+        group + split) reproduces two independent scans exactly."""
+        pre_f, pre_b = self._pres(rng)
+        y_f, y_b = bidirectional_scan(pre_f, pre_b, use_kernel=True,
+                                      interpret=True)
+        w_f = selective_scan_ref(pre_f.xs, pre_f.dt, pre_f.A, pre_f.B, pre_f.C)
+        w_b = selective_scan_ref(pre_b.xs, pre_b.dt, pre_b.A, pre_b.B, pre_b.C)
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(w_f),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(y_b), np.asarray(w_b),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_fallback_path(self, rng):
+        pre_f, pre_b = self._pres(rng)
+        y_f, y_b = bidirectional_scan(pre_f, pre_b, use_kernel=False)
+        w_f = selective_scan_ref(pre_f.xs, pre_f.dt, pre_f.A, pre_f.B, pre_f.C)
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(w_f))
 
 
 class TestMambaLayer:
