@@ -25,7 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.mamba import Mamba, bidirectional_scan
+from ..ops.mamba import Mamba
 
 _DENSE_INIT = nn.initializers.normal(stddev=0.02)  # GPT _init_weights
 
@@ -108,17 +108,14 @@ class MambaBlock(nn.Module):
             d_model=self.n_embd, d_state=self.d_state, d_conv=self.d_conv,
             expand=self.expand, use_pallas=self.use_pallas,
             compute_dtype=self.dtype, name=name)
-        fm = mamba("forward_mamba")
-        bm = mamba("backward_mamba")
+        # NOTE: merging the two direction scans into one grouped-A pallas
+        # launch (ops/mamba.py bidirectional_scan) measured SLOWER e2e on
+        # v5e (51.1 vs 52.3 samples/s/chip, B=8 K=8): the batch-axis
+        # concats of u/dt/B/C cost more HBM traffic than the halved kernel
+        # launches save.  Two separate calls stay the default.
+        x_fm = mamba("forward_mamba")(x_fc1)
         x_flip = jnp.flip(x_fc1, axis=1)
-        # both direction scans in one grouped-A pallas launch (ops/mamba.py);
-        # identical math to fm(x_fc1) / bm(x_flip), halves the kernel calls
-        pre_f = fm.pre_scan(x_fc1)
-        pre_b = bm.pre_scan(x_flip)
-        y_f, y_b = bidirectional_scan(pre_f, pre_b,
-                                      use_kernel=fm.kernel_eligible())
-        x_fm = fm.post_scan(y_f, pre_f).astype(x_fc1.dtype)
-        x_bm = bm.post_scan(y_b, pre_b).astype(x_fc1.dtype)
+        x_bm = mamba("backward_mamba")(x_flip)
         x_fc2 = nn.Dense(self.n_embd, kernel_init=_DENSE_INIT,
                          dtype=self.dtype, name="fc2")(x_flip)
         x_relu = nn.leaky_relu(x_fc2, negative_slope=0.2)
