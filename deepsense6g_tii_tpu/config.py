@@ -75,6 +75,13 @@ class GlobalConfig:
     # fusion stages incl. scans) | "conv" (checkpoint the ResNet stages,
     # keep the scan activations stored — cheaper recompute per HBM saved)
     remat: str = "none"
+    # backbone depth override: None = reference depths (ResNet34 image,
+    # ResNet18 lidar/radar — mambafuser_seq.py:23,59).  A 4-tuple of
+    # per-stage block counts (e.g. (1, 1, 1, 1)) replaces ALL three
+    # backbones' depths while keeping every stage/stride/width — the graphs
+    # the mechanism tests (remat equality, BN sample-mask, engine, dryrun)
+    # compile shrink ~3x without changing any mechanism under test.
+    backbone_blocks: Optional[Tuple[int, int, int, int]] = None
 
     def __post_init__(self):
         # remat was a bool in early revisions; a stale True would otherwise
@@ -86,6 +93,12 @@ class GlobalConfig:
         if self.remat not in ("none", "fusion", "conv"):
             raise ValueError(f"remat must be 'none'|'fusion'|'conv', "
                              f"got {self.remat!r}")
+        if self.backbone_blocks is not None:
+            # json round-trips tuples as lists; hashability needs a tuple
+            object.__setattr__(self, "backbone_blocks",
+                               tuple(self.backbone_blocks))
+            if len(self.backbone_blocks) != 4:
+                raise ValueError("backbone_blocks must have 4 stage counts")
 
     @property
     def anchors(self) -> int:

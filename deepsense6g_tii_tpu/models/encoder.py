@@ -53,13 +53,15 @@ class FusionEncoder(nn.Module):
         cfg = self.config
         dtype = jnp.dtype(cfg.compute_dtype)
         conv_remat = cfg.remat == "conv"
-        self.image_backbone = ResNetBackbone(RESNET34_BLOCKS, dtype=dtype,
+        img_blocks = cfg.backbone_blocks or RESNET34_BLOCKS
+        oth_blocks = cfg.backbone_blocks or RESNET18_BLOCKS
+        self.image_backbone = ResNetBackbone(img_blocks, dtype=dtype,
                                              remat=conv_remat,
                                              name="image_encoder")
-        self.lidar_backbone = ResNetBackbone(RESNET18_BLOCKS, dtype=dtype,
+        self.lidar_backbone = ResNetBackbone(oth_blocks, dtype=dtype,
                                              remat=conv_remat,
                                              name="lidar_encoder")
-        self.radar_backbone = ResNetBackbone(RESNET18_BLOCKS, dtype=dtype,
+        self.radar_backbone = ResNetBackbone(oth_blocks, dtype=dtype,
                                              remat=conv_remat,
                                              name="radar_encoder")
 

@@ -284,7 +284,8 @@ class TestGptTransFuserOracle:
         inp = tuple(jnp.asarray(x) for x in (image, lidar, radar, gps))
 
         variables = _randomized_variables(model, inp)
-        got = np.asarray(model.apply(variables, *inp, train=False))
+        got = np.asarray(jax.jit(
+            lambda v, *a: model.apply(v, *a, train=False))(variables, *inp))
 
         # export to the reference naming, load strict into the recreation
         sd = export_reference_checkpoint(
@@ -539,7 +540,8 @@ class TestMambaFuserOracle:
         inp = tuple(jnp.asarray(x) for x in (image, lidar, radar, gps))
 
         variables = _randomized_variables(model, inp, seed=2)
-        got = np.asarray(model.apply(variables, *inp, train=False))
+        got = np.asarray(jax.jit(
+            lambda v, *a: model.apply(v, *a, train=False))(variables, *inp))
 
         sd = export_reference_checkpoint(
             variables["params"], variables["batch_stats"], cfg)

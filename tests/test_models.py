@@ -100,7 +100,8 @@ class TestResNetTorchParity:
 # at the reference geometry.
 SMALL = GlobalConfig(seq_len=2, n_layer=1, use_pallas_scan=False,
                      compute_dtype="float32", vert_anchors=4, horz_anchors=4,
-                     input_resolution=128, crop=128)
+                     input_resolution=128, crop=128,
+                     backbone_blocks=(1, 1, 1, 1))
 
 
 def _inputs(B=1, T=2, radar_ch=2, H=128):
@@ -115,8 +116,9 @@ class TestFusionBlocks:
                          fusion_type="mamba", use_pallas=False)
         maps = jnp.asarray(rng.normal(size=(2, 2, 8, 8, 64)).astype(np.float32))
         gps = jnp.asarray(rng.normal(size=(2, 2, 64)).astype(np.float32))
-        v = tf.init(jax.random.PRNGKey(0), maps, maps, maps, gps)
-        io, lo, ro, go = tf.apply(v, maps, maps, maps, gps)
+        v = jax.jit(lambda: tf.init(jax.random.PRNGKey(0), maps, maps,
+                                    maps, gps))()
+        io, lo, ro, go = jax.jit(tf.apply)(v, maps, maps, maps, gps)
         assert io.shape == lo.shape == ro.shape == (2, 2, 8, 8, 64)
         assert go.shape == (2, 2, 64)
         assert v["params"]["pos_emb"].shape == (1, 3 * 2 * 64 + 2, 64)
@@ -127,8 +129,9 @@ class TestFusionBlocks:
                          fusion_type="gpt", n_head=4)
         maps = jnp.asarray(rng.normal(size=(1, 2, 8, 8, 64)).astype(np.float32))
         gps = jnp.zeros((1, 2, 64))
-        v = tf.init(jax.random.PRNGKey(0), maps, maps, maps, gps)
-        io, *_ = tf.apply(v, maps, maps, maps, gps)
+        v = jax.jit(lambda: tf.init(jax.random.PRNGKey(0), maps, maps,
+                                    maps, gps))()
+        io, *_ = jax.jit(tf.apply)(v, maps, maps, maps, gps)
         assert io.shape == (1, 2, 8, 8, 64)
         assert "attn" in v["params"]["block0"]
 
@@ -142,18 +145,44 @@ class TestFusionBlocks:
         lid = jnp.asarray(rng.normal(size=(1, 1, 8, 8, 66)).astype(np.float32))
         rad = jnp.asarray(rng.normal(size=(1, 1, 8, 8, 66)).astype(np.float32))
         gps = jnp.zeros((1, 2, 66))
-        v = a.init(jax.random.PRNGKey(0), img, lid, rad, gps)
-        ya = a.apply(v, img, lid, rad, gps)[0]
-        yb = b.apply(v, img, lid, rad, gps)[0]
+        v = jax.jit(lambda: a.init(jax.random.PRNGKey(0), img, lid, rad,
+                                   gps))()
+        ya = jax.jit(a.apply)(v, img, lid, rad, gps)[0]
+        yb = jax.jit(b.apply)(v, img, lid, rad, gps)[0]
         assert float(jnp.abs(ya - yb).max()) > 1e-6
 
     def test_time_mamba(self, rng):
         tm = TimeMamba(d_model=32, seq_len=5, use_pallas=False)
         f = jnp.asarray(rng.normal(size=(2, 5, 32)).astype(np.float32))
         g = jnp.asarray(rng.normal(size=(2, 2, 32)).astype(np.float32))
-        v = tm.init(jax.random.PRNGKey(0), f, f, f, g)
-        out = tm.apply(v, f, f, f, g)
+        v = jax.jit(lambda: tm.init(jax.random.PRNGKey(0), f, f, f, g))()
+        out = jax.jit(tm.apply)(v, f, f, f, g)
         assert out.shape == (2, 32)
+
+
+class TestBackboneBlocksKnob:
+    def test_json_roundtrip_keeps_tuple(self):
+        cfg = GlobalConfig(backbone_blocks=(1, 1, 1, 1))
+        back = GlobalConfig.from_json(cfg.to_json())
+        assert back.backbone_blocks == (1, 1, 1, 1)
+        assert isinstance(back.backbone_blocks, tuple)   # hashable/static
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            GlobalConfig(backbone_blocks=(1, 1))
+
+    def test_depth_changes_params_not_interface(self):
+        tiny = jax.eval_shape(
+            BeamFuser(SMALL).init, jax.random.PRNGKey(0), *_inputs())
+        deep = jax.eval_shape(
+            BeamFuser(SMALL.replace(backbone_blocks=None)).init,
+            jax.random.PRNGKey(0), *_inputs())
+        count = lambda s: sum(int(np.prod(p.shape)) for p in
+                              jax.tree_util.tree_leaves(s["params"]))
+        assert count(tiny) < count(deep)
+        stages = deep["params"]["encoder"]["image_encoder"]
+        assert "block2" in stages["stage4"]              # ResNet34 depth 3
+        assert "block1" not in tiny["params"]["encoder"]["image_encoder"]["stage1"]
 
 
 class TestBeamFuser:
@@ -171,7 +200,10 @@ class TestBeamFuser:
         model = BeamFuser(SMALL)
         inp = _inputs()
         v = jinit(model, *inp)
-        logits = model.apply(v, *inp, train=False)
+        # jitted: eager op-by-op apply costs ~20s on this 1-core host; the
+        # compiled program persists in the suite's compile cache
+        logits = jax.jit(lambda v_, *a: model.apply(v_, *a, train=False))(
+            v, *inp)
         assert logits.shape == (1, 64)
         assert np.isfinite(np.asarray(logits)).all()
 
@@ -187,14 +219,14 @@ class TestBeamFuser:
         model = BeamFuser(SMALL.replace(add_velocity=0))
         inp = _inputs(radar_ch=1)
         v = jinit(model, *inp)
-        assert model.apply(v, *inp).shape == (1, 64)
+        assert jax.jit(model.apply)(v, *inp).shape == (1, 64)
 
     def test_multistep_decoder(self):
         cfg = SMALL.replace(pred_len=3)
         model = BeamFuser(cfg)
         inp = _inputs()
         v = jinit(model, *inp)
-        out = model.apply(v, *inp)
+        out = jax.jit(model.apply)(v, *inp)
         assert out.shape == (1, 3, 64)
 
     def test_modality_missing_zerolike(self, rng):
@@ -204,24 +236,27 @@ class TestBeamFuser:
         img = jnp.asarray(rng.uniform(0, 255, (1, 2, 128, 128, 3)).astype(np.float32))
         rest = _inputs()[1:]
         v = jinit(base, img, *rest)
-        a = base.apply(v, img, *rest)
-        b = miss.apply(v, img, *rest)
+        a = jax.jit(base.apply)(v, img, *rest)
+        b = jax.jit(miss.apply)(v, img, *rest)
         assert float(jnp.abs(a - b).max()) > 1e-6
 
     def test_modality_missing_randlike_needs_rng(self):
         model = BeamFuser(SMALL.replace(modality_missing="radar",
                                         modality_missing_type="randlike"))
         inp = _inputs()
-        v = model.init({"params": jax.random.PRNGKey(0),
-                        "missing": jax.random.PRNGKey(1)}, *inp)
-        out = model.apply(v, *inp, rngs={"missing": jax.random.PRNGKey(2)})
+        v = jax.jit(lambda: model.init(
+            {"params": jax.random.PRNGKey(0),
+             "missing": jax.random.PRNGKey(1)}, *inp))()
+        out = jax.jit(lambda v_: model.apply(
+            v_, *inp, rngs={"missing": jax.random.PRNGKey(2)}))(v)
         assert out.shape == (1, 64)
 
     def test_stage1_feature_tap(self):
         model = BeamFuser(SMALL)
         inp = _inputs()
         v = jinit(model, *inp)
-        fused, feats = model.apply(v, *inp, method=model.encode_stage1)
+        fused, feats = jax.jit(lambda v_, *a: model.apply(
+            v_, *a, method=model.encode_stage1))(v, *inp)
         assert fused.shape == (1, 512)
         assert len(feats) == 3
         assert feats[0].shape == (2, 32, 32, 64)   # (B*T, H/4, W/4, 64)
@@ -230,7 +265,8 @@ class TestBeamFuser:
 class TestGraft:
     def test_graft_backbone(self):
         import torch
-        model = BeamFuser(SMALL)
+        # real ResNet18 depths: the graft targets torchvision layer naming
+        model = BeamFuser(SMALL.replace(backbone_blocks=(2, 2, 2, 2)))
         inp = _inputs()
         v = jinit(model, *inp)
         net = _build_torch_resnet18()
@@ -266,17 +302,24 @@ class TestSampleMask:
         gps_pad = jnp.concatenate([gps, gps[-1:]], axis=0)
         mask = jnp.array([1.0, 1.0, 0.0], jnp.float32)
 
-        exact, ex_stats = model.apply(v, *inp, gps, train=True,
-                                      mutable=["batch_stats"])
-        padded, pad_stats = model.apply(v, *pad, gps_pad, train=True,
-                                        mutable=["batch_stats"],
-                                        sample_mask=mask)
+        japply = jax.jit(
+            lambda v_, im, li, ra, g, m: model.apply(
+                v_, im, li, ra, g, train=True, mutable=["batch_stats"],
+                sample_mask=m))
+        exact, ex_stats = jax.jit(
+            lambda v_, im, li, ra, g: model.apply(
+                v_, im, li, ra, g, train=True,
+                mutable=["batch_stats"]))(v, *inp, gps)
+        padded, pad_stats = japply(v, *pad, gps_pad, mask)
+        # rtol 1e-4: the two jitted programs fuse/reassociate differently
+        # (mask path vs plain path); the failure mode guarded here — padded
+        # rows entering the BN batch statistics — shows up at O(1e-2).
         np.testing.assert_allclose(np.asarray(padded[:2]), np.asarray(exact),
-                                   rtol=1e-5, atol=1e-6)
+                                   rtol=1e-4, atol=1e-5)
         for a, b in zip(jax.tree_util.tree_leaves(ex_stats),
                         jax.tree_util.tree_leaves(pad_stats)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-5, atol=1e-6)
+                                       rtol=1e-4, atol=1e-5)
 
 
 class TestRematPolicies:
@@ -296,7 +339,8 @@ class TestRematPolicies:
             cfg = GlobalConfig(seq_len=1, n_layer=1, use_pallas_scan=False,
                                compute_dtype="float32", remat=remat,
                                vert_anchors=2, horz_anchors=2,
-                               input_resolution=64, crop=64)
+                               input_resolution=64, crop=64,
+                               backbone_blocks=(1, 1, 1, 1))
             model = BeamFuser(cfg)
             variables = jinit(model, *inp)
 
@@ -307,7 +351,9 @@ class TestRematPolicies:
                     train=False)
                 return (out ** 2).sum()
 
-            return jax.grad(loss)(variables["params"])
+            # jitted: the eager backward costs ~45s/policy on one core; the
+            # compiled grad program is served by the persistent cache
+            return jax.jit(jax.grad(loss))(variables["params"])
 
         g0 = grads_for("none")
         for policy in ("fusion", "conv"):

@@ -24,7 +24,8 @@ from synthetic_data import jinit, make_batch
 CFG = GlobalConfig(seq_len=2, n_layer=1, use_pallas_scan=False,
                    compute_dtype="float32", modality_missing="image",
                    vert_anchors=2, horz_anchors=2,
-                   input_resolution=64, crop=64)
+                   input_resolution=64, crop=64,
+                   backbone_blocks=(1, 1, 1, 1))
 
 
 class TestHeads:

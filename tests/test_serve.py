@@ -13,7 +13,8 @@ from deepsense6g_tii_tpu.serve import Predictor
 # 128px / 4x4-anchor geometry (see tests/test_models.py).
 CFG = GlobalConfig(seq_len=2, n_layer=1, use_pallas_scan=False,
                    compute_dtype="float32", vert_anchors=4, horz_anchors=4,
-                   input_resolution=128, crop=128)
+                   input_resolution=128, crop=128,
+                   backbone_blocks=(1, 1, 1, 1))
 
 
 def _inputs(n, T=2, rc=2):
