@@ -24,6 +24,9 @@ import numpy as np
 
 from deepsense6g_tii_tpu.ops import selective_scan as ss
 
+if "SCAN_SEG" in os.environ:        # A/B the in-chunk segment width
+    ss.SEG = int(os.environ["SCAN_SEG"])
+
 B, L, N = 8, 962, 16
 ITERS = 10
 REPS = 5
