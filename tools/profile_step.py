@@ -61,7 +61,9 @@ def main():
         stacked = jax.tree_util.tree_map(
             lambda x: np.broadcast_to(x, (K,) + x.shape).copy(), host)
         batch = shard_stacked_batch(stacked, mesh)
-        step = make_multi_train_step(model, cfg, tx, use_ema=True)
+        unroll = int(os.environ.get("DEEPSENSE_BENCH_UNROLL", "1"))
+        step = make_multi_train_step(model, cfg, tx, unroll=unroll,
+                                     use_ema=True)
     else:
         step = make_train_step(model, cfg, tx, use_ema=True)
     state, m = step(state, batch, 1e-4)
