@@ -137,12 +137,14 @@ def main(argv=None) -> int:
                 if k != "scenario"}
 
     def run_validation():
-        preds, gts, scens = [], [], []
+        preds, gts, scens, losses = [], [], [], []
         for batch in val_loader:
             m = trainer.eval_step(state, to_dev(batch))
             preds.append(np.asarray(m["ranks"]))
             gts.append(np.asarray(batch["beamidx"]))
             scens.append(np.asarray(batch["scenario"]))
+            if "loss" in m:
+                losses.append(float(m["loss"]))
         preds_a = np.concatenate(preds)
         gts_a = np.concatenate(gts)
         scens_a = np.concatenate(scens)
@@ -151,14 +153,15 @@ def main(argv=None) -> int:
             if mask.sum():
                 print(s, "acc:", compute_acc(preds_a[mask], gts_a[mask]),
                       "DBA:", compute_dba_score(preds_a[mask], gts_a[mask]))
-        return compute_dba_score(preds_a, gts_a)
+        loss = float(np.mean(losses)) if losses else 0.0
+        return compute_dba_score(preds_a, gts_a), loss
 
     if args.Val:
         # eval-only: rebuilt-feature injection with loaded heads
         # (train_image_radar_lidar_rebuild.py:730-736, args.Val branch)
         if args.load_model_dir:
             state = load_rebuild_state(args.load_model_dir, state, best=True)
-        dba = run_validation()
+        dba, _ = run_validation()
         print("Val DBA:", dba)
         print("Val finish")
         return 0
@@ -181,10 +184,12 @@ def main(argv=None) -> int:
             continue
 
         # validation with rebuilt-feature injection
-        dba = run_validation()
+        dba, val_loss = run_validation()
         dbas.append(dba)
+        val_losses.append(val_loss)
         print("Val DBA:", dba)
         logger.scalar("DBA_score_val/scenario_all", dba, epoch + 1)
+        logger.scalar("curr_loss_val", val_loss, epoch + 1)
 
         # 5-way checkpointing (rebuild trainer save(), lines 566-611)
         save_best = dba >= bestval

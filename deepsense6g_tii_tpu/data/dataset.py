@@ -256,7 +256,7 @@ def random_split(dataset, lengths: Sequence[int], seed: int = 100):
 def dataset_augmentation(root: str, root_csv: str, config: GlobalConfig,
                          camera_aug: int = 7, lidar_aug: int = 2,
                          radar_aug: int = 1) -> ConcatDataset:
-    """The 23-fold augmentation product ((8*3*2)-1 combos, skipping the
+    """The 47-fold augmentation product ((8*3*2)-1 combos, skipping the
     original) of one adaptation-scenario CSV (train2_seq.py:386-410)."""
     sets = []
     for i in range(camera_aug + 1):

@@ -30,7 +30,11 @@ from .. import features as F
 # -- image variants ----------------------------------------------------------
 
 def adjust_gamma(img: Image.Image, gamma: float) -> Image.Image:
-    lut = [min(255, int((i / 255.0) ** gamma * 255 + 0.5)) for i in range(256)]
+    """torchvision PIL adjust_gamma LUT (truncation, scale 256-1e-3), the
+    exact table the reference augmentation applies — a round-to-nearest
+    LUT differs on 72/256 entries at gamma=2."""
+    lut = [min(255, int((255 + 1 - 1e-3) * (i / 255.0) ** gamma))
+           for i in range(256)]
     return img.point(lut * len(img.getbands()))
 
 

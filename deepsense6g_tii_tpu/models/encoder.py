@@ -105,8 +105,7 @@ class FusionEncoder(nn.Module):
             self.time_mamba = TimeMamba(
                 d_model=STAGE_FEATURES[3], seq_len=cfg.seq_len,
                 gps_tokens=cfg.gps_len, d_state=cfg.d_state,
-                d_conv=cfg.d_conv, expand=cfg.expand,
-                use_pallas=cfg.use_pallas_scan, dtype=dtype,
+                d_conv=cfg.d_conv, expand=cfg.expand, dtype=dtype,
                 name="time_mamba")
 
     # -- modality missing (mambafuser_seq.py:361-391) ------------------------

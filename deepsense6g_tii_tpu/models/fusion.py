@@ -161,10 +161,17 @@ class TokenFusion(nn.Module):
 
     @nn.compact
     def __call__(self, image, lidar, radar, gps, deterministic: bool = True):
-        """image/lidar/radar: (B, T, vh, hz, C); gps: (B, gps_tokens, C)."""
-        B, T, vh, hz, C = image.shape
+        """image: (B, n_views*T, vh, hz, C); lidar/radar: (B, T, vh, hz, C);
+        gps: (B, gps_tokens, C)."""
+        B, Ti, vh, hz, C = image.shape     # Ti = n_views * T
+        T = lidar.shape[1]                 # true seq_len (image may be wider)
 
         if self.channel_swap and self.fusion_type == "mamba":
+            if Ti != T:
+                raise ValueError(
+                    "channel_swap rotates channel thirds across same-shape "
+                    f"modality tracks; image has {Ti} frames vs {T} — "
+                    "cs-bimamba requires n_views=1 (mambafuser_seq.py:200-205)")
             s1, s2 = C // 3, C // 3 * 2
             cs_image = jnp.concatenate(
                 [image[..., :s1], lidar[..., s1:s2], radar[..., s2:]], axis=-1)
@@ -200,12 +207,12 @@ class TokenFusion(nn.Module):
 
         x = nn.LayerNorm(name="ln_f")(x)
 
-        n_map = (self.n_views + 2) * T * self.anchors
+        n_map = (Ti + 2 * T) * self.anchors
         gps_out = x[:, n_map:, :]
-        maps = x[:, :n_map, :].reshape(B, (self.n_views + 2) * T, vh, hz, C)
-        img_out = maps[:, : self.n_views * T]
-        lidar_out = maps[:, self.n_views * T: (self.n_views + 1) * T]
-        radar_out = maps[:, (self.n_views + 1) * T:]
+        maps = x[:, :n_map, :].reshape(B, Ti + 2 * T, vh, hz, C)
+        img_out = maps[:, :Ti]
+        lidar_out = maps[:, Ti: Ti + T]
+        radar_out = maps[:, Ti + T:]
         return img_out, lidar_out, radar_out, gps_out
 
 
@@ -223,14 +230,17 @@ class TimeMamba(nn.Module):
     d_state: int = 16
     d_conv: int = 4
     expand: int = 2
-    use_pallas: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, image, lidar, radar, gps):
+        # No use_pallas knob here on purpose: the temporal scan is L=seq_len
+        # (5) long, and the kernel's BL=128 chunk would pad 5 -> 128 (25x
+        # wasted VPU work) — the associative_scan reference path is always
+        # the right choice at this length.
         mamba = Mamba(d_model=self.d_model, d_state=self.d_state,
                       d_conv=self.d_conv, expand=self.expand,
-                      use_pallas=False,   # T=5: scan too small for a kernel
+                      use_pallas=False,
                       compute_dtype=self.dtype, name="mamba")
         mlp = nn.Dense(self.seq_len, name="mlp")
         mlp_gps = nn.Dense(self.gps_tokens, name="mlp_gps")

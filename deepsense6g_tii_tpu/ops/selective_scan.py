@@ -449,6 +449,17 @@ def selective_scan(u, dt, A, B, C, interpret=False, variant="chunked"):
     A are always promoted to f32 (they pass through exp; the callers keep
     them f32 already, ops/mamba.py).
     """
+    b, _, d = u.shape
+    bd = min(FWD_BD, d)
+    if d % bd != 0:
+        raise ValueError(
+            f"selective_scan: d={d} must be a multiple of {bd} "
+            f"(the kernel channel tile) — the grid would silently leave the "
+            f"channel tail unwritten.  Pad d or use selective_scan_ref.")
+    if A.ndim == 3 and b % A.shape[0] != 0:
+        raise ValueError(
+            f"selective_scan: batch {b} must divide evenly into the "
+            f"{A.shape[0]} parameter groups of grouped A.")
     return _scan_core(u, dt.astype(jnp.float32), A.astype(jnp.float32),
                       B, C, interpret, variant)
 

@@ -17,10 +17,13 @@ groups.  At eval, ``rebuild_features`` synthesizes the missing modality's
 stage-1 features from the sources (lines 532-563).
 
 The reference freezes *copies* of the stem+stage1 encoders loaded from a
-split checkpoint (my_test.py); here the same boundary is realized with
-``stop_gradient`` around the fuser's own stage-1 tap — identical math, no
-checkpoint surgery (``split_encoder_checkpoint`` still provides the my_test
-equivalent for interop).
+split checkpoint (my_test.py); ``RebuildState`` carries the same frozen
+copies (``frozen_params``/``frozen_stats``, captured at ``init_state`` from
+the pretrained fusion checkpoint) and the stage-1 tap grafts them over the
+live tree, so the translation/contrastive targets stay constant while the
+fusion model itself trains at lr 1e-6 — exactly the reference boundary
+(``split_encoder_checkpoint`` still provides the my_test equivalent for
+interop).
 """
 
 from __future__ import annotations
@@ -67,8 +70,38 @@ class RebuildState:
     head_stats: Dict
     fusion_params: Dict
     fusion_stats: Dict
+    # Frozen stem+stage1 copies (the reference's split-checkpoint encoders,
+    # my_test.py): the stage-1 tap that produces translation/contrastive
+    # targets always runs under these, never the trainable fusion_params.
+    frozen_params: Dict
+    frozen_stats: Dict
     opt_state: optax.OptState
     step: jnp.ndarray
+
+
+_FROZEN_ENCODERS = ("image_encoder", "lidar_encoder", "radar_encoder")
+_FROZEN_STAGES = ("stem", "stage1")
+
+
+def _extract_frozen(tree: Dict) -> Dict:
+    """Pulls the stem+stage1 subtrees out of a fuser variables tree."""
+    enc = tree.get("encoder", {})
+    return {name: {s: enc[name][s] for s in _FROZEN_STAGES if s in enc[name]}
+            for name in _FROZEN_ENCODERS if name in enc}
+
+
+def _graft_frozen(tree: Dict, frozen: Dict) -> Dict:
+    """Returns ``tree`` with the frozen stem+stage1 subtrees swapped in."""
+    if not frozen or "encoder" not in tree:
+        return tree
+    tree = dict(tree)
+    enc = dict(tree["encoder"])
+    for name, stages in frozen.items():
+        sub = dict(enc[name])
+        sub.update(stages)
+        enc[name] = sub
+    tree["encoder"] = enc
+    return tree
 
 
 @dataclasses.dataclass
@@ -141,15 +174,25 @@ class RebuildTrainer:
             head_stats=hv.get("batch_stats", {}),
             fusion_params=fusion_variables["params"],
             fusion_stats=fusion_variables.get("batch_stats", {}),
+            frozen_params=_extract_frozen(fusion_variables["params"]),
+            frozen_stats=_extract_frozen(
+                fusion_variables.get("batch_stats", {})),
             opt_state=self.tx.init(opt_params),
             step=jnp.zeros((), jnp.int32))
 
     # -- internals -----------------------------------------------------------
 
-    def _frozen_stage1(self, fusion_params, fusion_stats, batch):
-        """(modality -> (B*T, spatial, 64)) frozen stage-1 features."""
+    def _frozen_stage1(self, fusion_params, fusion_stats, batch,
+                       frozen_params=None, frozen_stats=None):
+        """(modality -> (B*T, spatial, 64)) frozen stage-1 features.
+
+        When ``frozen_params``/``frozen_stats`` are given (the checkpoint-time
+        copies carried in RebuildState), they are grafted over the live tree
+        so the tap matches the reference's truly frozen encoders — constant
+        targets even as the fusion model trains at lr 1e-6."""
         _, feats = self.fusion_model.apply(
-            {"params": fusion_params, "batch_stats": fusion_stats},
+            {"params": _graft_frozen(fusion_params, frozen_params or {}),
+             "batch_stats": _graft_frozen(fusion_stats, frozen_stats or {})},
             batch["image"], batch["lidar"], batch["radar"], batch["gps"],
             method=self.fusion_model.encode_stage1)
         out = {}
@@ -163,11 +206,12 @@ class RebuildTrainer:
         cfg = self.cfg
         base_rng = jax.random.PRNGKey(opts.seed)
 
-        def loss_fn(opt_params, head_stats, fusion_stats, batch, rngs):
+        def loss_fn(opt_params, head_stats, fusion_stats, batch, rngs,
+                    frozen_params, frozen_stats):
             fusion_vars = {"params": opt_params["fusion"],
                            "batch_stats": fusion_stats}
             feats = self._frozen_stage1(opt_params["fusion"], fusion_stats,
-                                        batch)
+                                        batch, frozen_params, frozen_stats)
             (proj, s2t), mut = self.heads.apply(
                 {"params": opt_params["heads"], "batch_stats": head_stats},
                 feats, opts.source_domain, train=True,
@@ -217,7 +261,8 @@ class RebuildTrainer:
             opt_params = {"heads": state.head_params,
                           "fusion": state.fusion_params}
             grads, aux = jax.grad(loss_fn, has_aux=True)(
-                opt_params, state.head_stats, state.fusion_stats, batch, rngs)
+                opt_params, state.head_stats, state.fusion_stats, batch, rngs,
+                state.frozen_params, state.frozen_stats)
             opt_state = _set_heads_lr(state.opt_state, lr)
             updates, opt_state = self.tx.update(grads, opt_state, opt_params)
             new_params = optax.apply_updates(opt_params, updates)
@@ -236,7 +281,9 @@ class RebuildTrainer:
         @jax.jit
         def rebuild(state: RebuildState, batch):
             feats = self._frozen_stage1(state.fusion_params,
-                                        state.fusion_stats, batch)
+                                        state.fusion_stats, batch,
+                                        state.frozen_params,
+                                        state.frozen_stats)
             src = {m: feats[m] for m in opts.source_domain}
             _, s2t = self.heads.apply(
                 {"params": state.head_params,
@@ -257,7 +304,10 @@ class RebuildTrainer:
                  "batch_stats": state.fusion_stats},
                 batch["image"], batch["lidar"], batch["radar"], batch["gps"],
                 rebuild_feats=rebuild, train=False)
-            return {"ranks": jnp.argsort(logits, axis=-1, descending=True)}
+            out = {"ranks": jnp.argsort(logits, axis=-1, descending=True)}
+            if "beam" in batch:
+                out["loss"] = focal_loss(logits, batch["beam"])
+            return out
 
         return eval_step
 

@@ -94,11 +94,20 @@ def flush() -> None:
 
 
 def _snapshot(x):
-    """Host snapshot that never aliases the caller's buffer: device_get of
-    a jax Array already copies; a raw np.ndarray passes through by
-    reference and must be copied (the async writer serializes later, after
-    the training loop may have donated/reused the buffer)."""
-    return x.copy() if isinstance(x, np.ndarray) else jax.device_get(x)
+    """Host snapshot that never aliases the caller's buffer.
+
+    ``jax.device_get`` copies across a real device link (TPU), but on the
+    CPU backend it returns a ZERO-COPY view of the device buffer (verified:
+    ``unsafe_buffer_pointer() == host.ctypes.data``) — if the next jitted
+    step donates and reuses that buffer while the async writer is still
+    serializing, the checkpoint bytes would tear silently.  Always land on a
+    fresh np array; ``np.asarray(...).copy()`` is a no-op-cost second copy on
+    TPU relative to the transfer and checkpoint saves are per-epoch."""
+    if isinstance(x, np.ndarray):
+        return x.copy()
+    if isinstance(x, jax.Array):
+        return np.asarray(jax.device_get(x)).copy()
+    return x  # python scalars etc. are immutable
 
 
 def _write(path: str, tree: Any, async_write: bool = False) -> None:

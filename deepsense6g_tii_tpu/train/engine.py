@@ -333,7 +333,7 @@ class Engine:
         for batch, dev, n in self._staged(loader):
             if self.state is None:
                 self.init_state(batch)
-            m = self.eval_step(self.state, dev)
+            m = self.eval_step(self.state, dev, num_batches)
             losses.append(m["loss"])
             pred_all.append((m["ranks"], n))
             gt_all.append(np.asarray(batch["beamidx"]))
@@ -379,10 +379,10 @@ class Engine:
         """Test pass: writes beam_pred.csv (1-indexed top-1/2/3) and the
         softmax-confidence CSV (train2_seq.py:224-252,338-346)."""
         pred_all, conf_all = [], []
-        for batch, dev, n in self._staged(loader):
+        for i, (batch, dev, n) in enumerate(self._staged(loader)):
             if self.state is None:
                 self.init_state(batch)
-            m = self.eval_step(self.state, dev)
+            m = self.eval_step(self.state, dev, i)
             pred_all.append(np.asarray(m["ranks"])[:n])
             conf_all.append(np.asarray(m["confidence"])[:n])
         pred_all = np.concatenate(pred_all, 0)

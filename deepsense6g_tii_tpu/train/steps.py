@@ -160,15 +160,20 @@ def make_eval_step(model, cfg: GlobalConfig,
     base_rng = jax.random.PRNGKey(rng_seed)
 
     @jax.jit
-    def eval_step(state: TrainState, batch):
+    def eval_step(state: TrainState, batch, batch_idx=0):
         params = state.ema_params if use_ema else state.params
         variables = {"params": params, "batch_stats": state.batch_stats}
         rngs = None
         if cfg.modality_missing is not None \
                 and cfg.modality_missing_type == "randlike":
             # randlike missing substitutes random tensors at eval too
-            # (mambafuser_seq.py:361-391 under --Val)
-            rngs = {"missing": jax.random.fold_in(base_rng, state.step)}
+            # (mambafuser_seq.py:361-391 under --Val).  Fold in the caller's
+            # batch counter so each eval batch draws fresh noise — state.step
+            # is constant across a validation epoch and would otherwise reuse
+            # one fixed realization (the reference draws fresh torch.rand_like
+            # per forward).
+            key = jax.random.fold_in(base_rng, state.step)
+            rngs = {"missing": jax.random.fold_in(key, batch_idx)}
         logits = model.apply(variables, *_model_inputs(batch),
                              rebuild_feats=batch.get("rebuild_feats"),
                              train=False, rngs=rngs)

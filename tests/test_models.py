@@ -151,8 +151,39 @@ class TestFusionBlocks:
         yb = jax.jit(b.apply)(v, img, lid, rad, gps)[0]
         assert float(jnp.abs(ya - yb).max()) > 1e-6
 
+    def test_token_fusion_multiview(self, rng):
+        """n_views=2: the image track carries n_views*T frames
+        (model2_seq.py:248-287 tokenizes num_views camera maps per step);
+        the output split must hand back n_views*T image maps and T
+        lidar/radar maps."""
+        tf = TokenFusion(n_embd=64, n_layer=1, seq_len=2, n_views=2,
+                         anchors=64, gps_tokens=2, embd_pdrop=0.0,
+                         fusion_type="gpt", n_head=4, channel_swap=False)
+        img = jnp.asarray(rng.normal(size=(1, 4, 8, 8, 64)).astype(np.float32))
+        lid = jnp.asarray(rng.normal(size=(1, 2, 8, 8, 64)).astype(np.float32))
+        gps = jnp.zeros((1, 2, 64))
+        v = jax.jit(lambda: tf.init(jax.random.PRNGKey(0), img, lid, lid,
+                                    gps))()
+        io, lo, ro, go = jax.jit(tf.apply)(v, img, lid, lid, gps)
+        assert io.shape == (1, 4, 8, 8, 64)
+        assert lo.shape == ro.shape == (1, 2, 8, 8, 64)
+        assert go.shape == (1, 2, 64)
+        assert v["params"]["pos_emb"].shape == (1, (2 + 2) * 2 * 64 + 2, 64)
+
+    def test_channel_swap_rejects_multiview(self):
+        """cs-bimamba rotates channel thirds across same-shape tracks;
+        a wider image track must fail loudly, not mis-slice."""
+        tf = TokenFusion(n_embd=66, n_layer=1, seq_len=1, n_views=2,
+                         anchors=64, gps_tokens=2, embd_pdrop=0.0,
+                         fusion_type="mamba", use_pallas=False)
+        img = jnp.zeros((1, 2, 8, 8, 66))
+        lid = jnp.zeros((1, 1, 8, 8, 66))
+        gps = jnp.zeros((1, 2, 66))
+        with pytest.raises(ValueError, match="n_views=1"):
+            tf.init(jax.random.PRNGKey(0), img, lid, lid, gps)
+
     def test_time_mamba(self, rng):
-        tm = TimeMamba(d_model=32, seq_len=5, use_pallas=False)
+        tm = TimeMamba(d_model=32, seq_len=5)
         f = jnp.asarray(rng.normal(size=(2, 5, 32)).astype(np.float32))
         g = jnp.asarray(rng.normal(size=(2, 2, 32)).astype(np.float32))
         v = jax.jit(lambda: tm.init(jax.random.PRNGKey(0), f, f, f, g))()
@@ -250,6 +281,31 @@ class TestBeamFuser:
         out = jax.jit(lambda v_: model.apply(
             v_, *inp, rngs={"missing": jax.random.PRNGKey(2)}))(v)
         assert out.shape == (1, 64)
+
+    def test_eval_randlike_fresh_per_batch(self):
+        """eval_step folds the caller's batch counter into the missing-
+        modality rng: with identical state and batch, a different batch_idx
+        must substitute different noise (the reference draws a fresh
+        torch.rand_like per forward, mambafuser_seq.py:361-391), while the
+        same batch_idx reproduces bit-identically."""
+        from deepsense6g_tii_tpu.train.state import (create_train_state,
+                                                     make_optimizer)
+        from deepsense6g_tii_tpu.train.steps import make_eval_step
+        cfg = SMALL.replace(modality_missing="radar",
+                            modality_missing_type="randlike")
+        model = BeamFuser(cfg)
+        inp = _inputs()
+        v = jax.jit(lambda: model.init(
+            {"params": jax.random.PRNGKey(0),
+             "missing": jax.random.PRNGKey(1)}, *inp))()
+        state = create_train_state(v, make_optimizer())
+        batch = dict(zip(("image", "lidar", "radar", "gps"), inp))
+        step = make_eval_step(model, cfg)
+        c0 = np.asarray(step(state, batch, 0)["confidence"])
+        c1 = np.asarray(step(state, batch, 1)["confidence"])
+        c0b = np.asarray(step(state, batch, 0)["confidence"])
+        assert not np.array_equal(c0, c1)
+        np.testing.assert_array_equal(c0, c0b)
 
     def test_stage1_feature_tap(self):
         model = BeamFuser(SMALL)

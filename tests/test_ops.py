@@ -57,6 +57,19 @@ class TestSelectiveScanPallas:
                                        np.asarray(gr) / scale,
                                        rtol=2e-4, atol=2e-5)
 
+    def test_rejects_untiled_channel_dim(self, rng):
+        """d not a multiple of the 128-lane channel tile would leave the
+        tail channels unwritten by the grid — must be a loud error."""
+        u, dt, A, B, C = _scan_inputs(rng, d=192)
+        with pytest.raises(ValueError, match="multiple"):
+            selective_scan(u, dt, A, B, C, True)
+
+    def test_rejects_bad_group_batch(self, rng):
+        """Grouped A: the batch must split evenly across parameter groups."""
+        u, dt, A, B, C = _scan_inputs(rng, b=3)
+        with pytest.raises(ValueError, match="groups"):
+            selective_scan(u, dt, jnp.stack([A, A]), B, C, True)
+
     def test_bf16_activations(self, rng):
         """bf16 u/B/C flow straight into the kernels (no f32 HBM copies);
         y stays f32, grads come back in the input dtype and match the f32

@@ -225,3 +225,16 @@ class TestImageAugmentationParity:
         np.testing.assert_array_equal(np.asarray(variants[5]),
                                       np.asarray(want))
         assert 0.0 <= factor <= 10.0
+
+    def test_adjust_gamma_matches_torchvision_lut(self, rng):
+        """Oracle: torchvision F_pil.adjust_gamma builds its table as
+        int((255 + 1 - 1e-3) * (i/255)**gamma) — TRUNCATION at a 255.999
+        scale, not round-to-nearest (the two differ on 72/256 entries at
+        gamma=2).  Applied per-pixel in NumPy, independent of img.point."""
+        img = self._img(rng)
+        arr = np.asarray(img).astype(np.float64)
+        for gamma in (0.5, 1.0, 2.0, 2.9):
+            got = np.asarray(augment.adjust_gamma(img, gamma))
+            want = np.floor(
+                (255 + 1 - 1e-3) * (arr / 255.0) ** gamma).astype(np.uint8)
+            np.testing.assert_array_equal(got, want)

@@ -142,6 +142,29 @@ class TestRebuildTrainer:
                 aux0 = aux
         assert float(aux["trans"]) < float(aux0["trans"])
 
+    def test_frozen_tap_constant_under_training(self, setup):
+        """The stage-1 translation/contrastive targets come from the FROZEN
+        stem+stage1 copies in RebuildState, so they must be bit-identical
+        before and after fusion-param updates (the reference's frozen
+        split-checkpoint encoders, train_image_radar_lidar_rebuild.py)."""
+        trainer, state, dev = setup
+        tap = jax.jit(lambda s, b: trainer._frozen_stage1(
+            s.fusion_params, s.fusion_stats, b,
+            s.frozen_params, s.frozen_stats))
+        before = tap(state, dev)
+        s1 = state
+        for _ in range(3):
+            s1, _ = trainer.train_step(s1, dev, 1e-2)
+        # fusion params genuinely moved under the large lr
+        fus = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            state.fusion_params, s1.fusion_params)
+        assert max(jax.tree_util.tree_leaves(fus)) > 0
+        after = tap(s1, dev)
+        for m in before:
+            np.testing.assert_array_equal(np.asarray(before[m]),
+                                          np.asarray(after[m]))
+
     def test_split_checkpoint(self, setup):
         trainer, state, dev = setup
         parts = split_encoder_checkpoint(state.fusion_params)
