@@ -51,6 +51,8 @@ def main():
     cfg = GlobalConfig(use_pallas_scan=on_tpu,
                        compute_dtype="bfloat16" if on_tpu else "float32",
                        remat=os.environ.get("DEEPSENSE_BENCH_REMAT", "none"),
+                       opt_mu_dtype=os.environ.get("DEEPSENSE_BENCH_MU_DTYPE")
+                       or None,
                        FFM=0 if arch == "gpt" else 1,
                        TFM=0 if arch == "gpt" else 1)
     model = BeamFuser(cfg)
@@ -65,7 +67,7 @@ def main():
     }
 
     mesh = make_mesh()
-    tx = make_optimizer()
+    tx = make_optimizer(mu_dtype=cfg.opt_mu_dtype)
     variables = jax.eval_shape(
         model.init, jax.random.PRNGKey(0),
         batch["image"][:1], batch["lidar"][:1], batch["radar"][:1],

@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="optimizer steps fused into one device dispatch "
                         "(lax.scan; 1 = reference-style per-batch)")
+    p.add_argument("--opt_mu_dtype", type=str, default=None,
+                   choices=["bfloat16", "float32"],
+                   help="Adam first-moment storage dtype (default f32 = "
+                        "exact torch-AdamW trajectory; bfloat16 saves "
+                        "2 bytes/param of HBM for larger batches)")
     p.add_argument("--multihost", type=int, default=0,
                    help="jax.distributed.initialize() for multi-host DCN "
                         "training; same code, bigger ('data',) mesh")
@@ -109,6 +114,8 @@ def config_from_args(args):
         add_seg=args.add_seg,
         compute_dtype=args.compute_dtype,
         remat={"0": "none", "1": "fusion"}.get(args.remat, args.remat),
+        opt_mu_dtype=(None if args.opt_mu_dtype in (None, "float32")
+                      else args.opt_mu_dtype),
     )
 
 

@@ -82,6 +82,11 @@ class GlobalConfig:
     # the mechanism tests (remat equality, BN sample-mask, engine, dryrun)
     # compile shrink ~3x without changing any mechanism under test.
     backbone_blocks: Optional[Tuple[int, int, int, int]] = None
+    # Adam first-moment (mu) storage dtype: None = f32 (exact torch-AdamW
+    # trajectory).  "bfloat16" halves mu's HBM (103M params -> 207 MB saved)
+    # — enough to fit batch 16 without rematerialization on a 16G v5e.  The
+    # second moment and params stay f32 (nu feeds rsqrt; bf16 there hurts).
+    opt_mu_dtype: Optional[str] = None
 
     def __post_init__(self):
         # remat was a bool in early revisions; a stale True would otherwise

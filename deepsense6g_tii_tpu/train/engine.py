@@ -85,7 +85,7 @@ class Engine:
         self.DBA: List[float] = []
         self.DBAft: List[float] = [0.0]      # finetune stream
 
-        self.tx = make_optimizer()
+        self.tx = make_optimizer(mu_dtype=cfg.opt_mu_dtype)
         step_kw = dict(loss_name=opts.loss, temp_coef=opts.temp_coef,
                        use_ema=opts.ema, clip_grad_norm=opts.clip_grad_norm,
                        rng_seed=opts.seed)

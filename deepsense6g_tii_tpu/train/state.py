@@ -69,7 +69,9 @@ def flatten_transform(
 
 
 def make_optimizer(weight_decay: float = 0.01,
-                   flatten: bool = False) -> optax.GradientTransformation:
+                   flatten: bool = False,
+                   mu_dtype: Optional[str] = None
+                   ) -> optax.GradientTransformation:
     """AdamW with injectable learning rate (torch AdamW defaults: betas
     (0.9, 0.999), eps 1e-8, wd 0.01, applied to all params — the reference's
     decay/no-decay split is dead code, SURVEY.md section 2a #19).
@@ -79,10 +81,17 @@ def make_optimizer(weight_decay: float = 0.01,
     one v5e (r2): standalone the flattened update wins (77 vs 91 ms incl
     sync), but inside the full train step it LOSES (40.3 vs 42.7
     samples/s/chip) — the optimization_barrier serializes the update against
-    the backward, while per-leaf updates overlap with it.  Default off."""
+    the backward, while per-leaf updates overlap with it.  Default off.
+
+    ``mu_dtype`` ("bfloat16") stores Adam's first moment in reduced
+    precision (GlobalConfig.opt_mu_dtype): mu is a smoothed gradient average
+    whose bf16 rounding perturbs the update direction by ~2^-9 relative —
+    negligible against gradient noise — while nu (inside rsqrt) and the
+    params stay f32.  Saves 2 bytes/param of HBM (207 MB at 103M params)."""
     tx = optax.inject_hyperparams(optax.adamw)(
         learning_rate=0.0, b1=0.9, b2=0.999, eps=1e-8,
-        weight_decay=weight_decay)
+        weight_decay=weight_decay,
+        mu_dtype=jnp.dtype(mu_dtype) if mu_dtype else None)
     return flatten_transform(tx) if flatten else tx
 
 

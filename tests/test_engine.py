@@ -373,6 +373,40 @@ class TestFlattenedOptimizer:
                         jax.tree_util.tree_leaves(e1)):
             np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
 
+    def test_mu_dtype_bf16_state_and_trajectory(self, rng):
+        """opt_mu_dtype=bfloat16 (GlobalConfig knob): Adam's first moment is
+        stored bf16 (2 bytes/param HBM), nu and params stay f32, and a short
+        trajectory stays within bf16 rounding of the exact-f32 one."""
+        from deepsense6g_tii_tpu.train.state import make_optimizer
+
+        model = TinyFuser(CFG)
+        batch = make_batch(rng, B=4)
+        dev = {k: jnp.asarray(v) for k, v in batch.items() if k != "scenario"}
+        variables = model.init(jax.random.PRNGKey(0), batch["image"],
+                               batch["lidar"], batch["radar"], batch["gps"])
+        results = []
+        for mu_dtype in (None, "bfloat16"):
+            tx = make_optimizer(mu_dtype=mu_dtype)
+            step = make_train_step(model, CFG, tx, use_ema=True)
+            state = create_train_state(
+                jax.tree_util.tree_map(jnp.copy, variables), tx)
+            for _ in range(3):
+                state, m = step(state, dev, 1e-3)
+            if mu_dtype == "bfloat16":
+                adam = state.opt_state.inner_state[0]
+                mu_dt = {l.dtype for l in
+                         jax.tree_util.tree_leaves(adam.mu)}
+                nu_dt = {l.dtype for l in
+                         jax.tree_util.tree_leaves(adam.nu)}
+                assert mu_dt == {jnp.dtype(jnp.bfloat16)}, mu_dt
+                assert nu_dt == {jnp.dtype(jnp.float32)}, nu_dt
+            results.append(jax.device_get(state.params))
+        for a, b in zip(jax.tree_util.tree_leaves(results[0]),
+                        jax.tree_util.tree_leaves(results[1])):
+            # 3 steps of lr 1e-3: params move ~1e-3/step; bf16 mu rounding
+            # perturbs each update by ~2^-9 relative
+            np.testing.assert_allclose(a, b, rtol=0, atol=5e-5)
+
 
 class TestStagedPrefetch:
     def test_preserves_order_and_propagates_errors(self, tmp_path, rng):
