@@ -119,8 +119,13 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
     dev_first = {k: jnp.asarray(v) for k, v in first.items()
                  if k != "scenario"}
+    init_rngs = {"params": jax.random.PRNGKey(100)}
+    if args.modality_missing_type == "randlike":
+        # randlike modality-missing draws substitute noise in the forward
+        # (mambafuser_seq.py:361-391) — init traces that forward too
+        init_rngs["missing"] = jax.random.PRNGKey(101)
     variables = jax.jit(lambda: model.init(
-        jax.random.PRNGKey(100), dev_first["image"], dev_first["lidar"],
+        init_rngs, dev_first["image"], dev_first["lidar"],
         dev_first["radar"], dev_first["gps"]))()
     if args.fusion_model_path:
         with open(args.fusion_model_path, "rb") as f:
@@ -138,8 +143,8 @@ def main(argv=None) -> int:
 
     def run_validation():
         preds, gts, scens, losses = [], [], [], []
-        for batch in val_loader:
-            m = trainer.eval_step(state, to_dev(batch))
+        for bi, batch in enumerate(val_loader):
+            m = trainer.eval_step(state, to_dev(batch), bi)
             preds.append(np.asarray(m["ranks"]))
             gts.append(np.asarray(batch["beamidx"]))
             scens.append(np.asarray(batch["scenario"]))

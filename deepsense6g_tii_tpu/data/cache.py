@@ -39,7 +39,10 @@ def build_cache(dataset, cache_dir: str, num_workers: int = 16) -> str:
                 os.path.join(cache_dir, f"{k}.npy"), mode="w+",
                 dtype=np.float16, shape=shape)
     has_labels = "beamidx" in first
-    beamidx = np.zeros((n,), np.int32) if has_labels else None
+    # (n,) for single-step labels, (n, pred_len) for the 30to5 variant
+    # (data2_seq_30to5.py:160-172 emits pred_len beam indices per sample)
+    beamidx = (np.zeros((n,) + np.asarray(first["beamidx"]).shape, np.int32)
+               if has_labels else None)
     scenarios = [""] * n
 
     def work(i):
@@ -88,5 +91,7 @@ class CachedDataset:
                for k, v in self.arrays.items()}
         out["scenario"] = self.scenarios[i]
         if self.has_labels:
-            out["beamidx"] = np.int32(self.beamidx[i])
+            bi = self.beamidx[i]
+            out["beamidx"] = (np.asarray(bi, np.int32) if bi.ndim
+                              else np.int32(bi))
         return out

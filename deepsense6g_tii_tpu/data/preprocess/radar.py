@@ -18,17 +18,23 @@ import numpy as np
 from .. import features as F
 
 
+# module-level jitted callables: a fresh jax.jit wrapper per call would
+# carry a fresh trace cache and re-trace/re-compile the FFT pipeline for
+# every 64-cube chunk of a scenario
+_jit_radar_maps = jax.jit(F.radar_maps, static_argnums=1)
+_jit_radar_maps_batch = jax.jit(
+    jax.vmap(F.radar_maps, in_axes=(0, None)), static_argnums=1)
+
+
 def process_file(data: np.ndarray, fft_size: int = 256):
     """One raw cube (n_rx, n_samples, n_chirps) -> (ra, rv) maps in [0,1]."""
-    ra, rv = jax.jit(F.radar_maps, static_argnums=1)(jnp.asarray(data),
-                                                     fft_size)
+    ra, rv = _jit_radar_maps(jnp.asarray(data), fft_size)
     return np.asarray(ra), np.asarray(rv)
 
 
 def process_batch(cubes: np.ndarray, fft_size: int = 256):
     """(N, n_rx, n_samples, n_chirps) -> (N, 256, 256) x 2, vmapped."""
-    fn = jax.jit(jax.vmap(lambda d: F.radar_maps(d, fft_size)))
-    ra, rv = fn(jnp.asarray(cubes))
+    ra, rv = _jit_radar_maps_batch(jnp.asarray(cubes), fft_size)
     return np.asarray(ra), np.asarray(rv)
 
 

@@ -176,10 +176,14 @@ class FusionEncoder(nn.Module):
         maps when ``return_stage1`` — the rebuild subsystem taps them).
         """
         cfg = self.config
-        B, T = image.shape[:2]
+        B = image.shape[0]
         dtype = jnp.dtype(cfg.compute_dtype)
-        bn_mask = (None if sample_mask is None
-                   else bn_sample_mask(sample_mask, T))
+        # per-stream masks: the image stream carries n_views*seq_len frames
+        # per sample while lidar/radar carry seq_len, so the flattened
+        # row counts differ whenever n_views > 1
+        bn_masks = [(None if sample_mask is None
+                     else bn_sample_mask(sample_mask, x.shape[1]))
+                    for x in (image, lidar, radar)]
 
         image = normalize_imagenet(image.astype(jnp.float32))
         lidar = lidar.astype(jnp.float32)
@@ -193,8 +197,9 @@ class FusionEncoder(nn.Module):
 
         backbones = (self.image_backbone, self.lidar_backbone,
                      self.radar_backbone)
-        feats = [bb.stage1(bb.stem(x, train, bn_mask), train, bn_mask)
-                 for bb, x in zip(backbones, (image, lidar, radar))]
+        feats = [bb.stage1(bb.stem(x, train, m), train, m)
+                 for bb, x, m in zip(backbones, (image, lidar, radar),
+                                     bn_masks)]
 
         feats = self._inject_rebuild(feats, rebuild_feats, train)
         stage1_feats = feats
@@ -214,8 +219,8 @@ class FusionEncoder(nn.Module):
                 outs = [interpolate_bilinear(o, STAGE_UPSAMPLE[i]) for o in outs]
             feats = [f + o.astype(f.dtype) for f, o in zip(feats, outs)]
             if i < 3:
-                feats = [getattr(bb, f"stage{i + 2}")(f, train, bn_mask)
-                         for bb, f in zip(backbones, feats)]
+                feats = [getattr(bb, f"stage{i + 2}")(f, train, m)
+                         for bb, f, m in zip(backbones, feats, bn_masks)]
 
         tracks = [_unflatten_bt(global_avg_pool(f), B).astype(jnp.float32)
                   for f in feats]                      # 3 x (B, T, 512)

@@ -104,10 +104,15 @@ class MambaBlock(nn.Module):
                             name="ln1")(x)
         x_fc1 = nn.Dense(self.n_embd, kernel_init=_DENSE_INIT,
                          dtype=self.dtype, name="fc1")(x_ln)
+        # init_style="gpt2": the reference MambaFusion/GPT applies
+        # _init_weights over the whole block stack, clobbering every inner
+        # Linear of these Mambas with N(0, 0.02) / zero bias
+        # (mambafuser_seq.py:138,143-147) — TimeMamba's Mamba is NOT under
+        # that apply and keeps mamba_ssm inits
         mamba = lambda name: Mamba(
             d_model=self.n_embd, d_state=self.d_state, d_conv=self.d_conv,
             expand=self.expand, use_pallas=self.use_pallas,
-            compute_dtype=self.dtype, name=name)
+            compute_dtype=self.dtype, init_style="gpt2", name=name)
         # NOTE: merging the two direction scans into one grouped-A pallas
         # launch (ops/mamba.py bidirectional_scan) measured SLOWER e2e on
         # v5e (51.1 vs 52.3 samples/s/chip, B=8 K=8): the batch-axis

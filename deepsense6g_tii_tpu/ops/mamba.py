@@ -75,6 +75,15 @@ class Mamba(nn.Module):
     dt_rank: Optional[int] = None        # default ceil(d_model / 16)
     use_pallas: bool = True
     compute_dtype: jnp.dtype = jnp.float32
+    # "mamba_ssm": the library's own inits (dt bias = softplus^-1 of
+    #   log-uniform, scaled-uniform dt kernel, lecun projections) — what the
+    #   reference's TimeMamba gets (mambafuser_seq.py:240).
+    # "gpt2": the reference's MambaFusion/GPT ``_init_weights`` recurses into
+    #   every nn.Linear of its fusion-block Mambas and clobbers them with
+    #   N(0, 0.02) weights and ZERO biases — including dt_proj, so fusion
+    #   blocks start at dt = softplus(~0) ~= 0.69
+    #   (mambafuser_seq.py:138,143-147; model2_seq.py:190,195-201).
+    init_style: str = "mamba_ssm"
 
     @property
     def _d_inner(self) -> int:
@@ -85,14 +94,22 @@ class Mamba(nn.Module):
         return self.dt_rank or math.ceil(self.d_model / 16)
 
     def setup(self):
+        if self.init_style not in ("mamba_ssm", "gpt2"):
+            raise ValueError(f"unknown init_style {self.init_style!r}")
+        gpt2 = self.init_style == "gpt2"
         d_inner = self._d_inner
         cdt = self.compute_dtype
+        dense_init = (nn.initializers.normal(stddev=0.02) if gpt2
+                      else nn.initializers.lecun_normal())
         # submodule names come from the attribute names (flax setup rule)
         # and must stay "in_proj"/"x_proj"/"out_proj" for checkpoint parity.
-        self.in_proj = nn.Dense(2 * d_inner, use_bias=False, dtype=cdt)
+        self.in_proj = nn.Dense(2 * d_inner, use_bias=False, dtype=cdt,
+                                kernel_init=dense_init)
         self.x_proj = nn.Dense(self._dt_rank + 2 * self.d_state,
-                               use_bias=False, dtype=cdt)
-        self.out_proj = nn.Dense(self.d_model, use_bias=False, dtype=cdt)
+                               use_bias=False, dtype=cdt,
+                               kernel_init=dense_init)
+        self.out_proj = nn.Dense(self.d_model, use_bias=False, dtype=cdt,
+                                 kernel_init=dense_init)
         self.conv1d_weight = self.param(
             "conv1d_weight", nn.initializers.lecun_normal(),
             (self.d_conv, 1, d_inner))          # (width, in/groups=1, features)
@@ -100,12 +117,15 @@ class Mamba(nn.Module):
                                       (d_inner,))
         self.dt_proj_weight = self.param(
             "dt_proj_weight",
-            lambda key, shape, dtype=jnp.float32: jax.random.uniform(
-                key, shape, dtype, -self._dt_rank**-0.5,
-                self._dt_rank**-0.5),
+            (nn.initializers.normal(stddev=0.02) if gpt2 else
+             lambda key, shape, dtype=jnp.float32: jax.random.uniform(
+                 key, shape, dtype, -self._dt_rank**-0.5,
+                 self._dt_rank**-0.5)),
             (self._dt_rank, self._d_inner))
-        self.dt_proj_bias = self.param("dt_proj_bias", _dt_proj_bias_init(),
-                                       (d_inner,))
+        self.dt_proj_bias = self.param(
+            "dt_proj_bias",
+            nn.initializers.zeros if gpt2 else _dt_proj_bias_init(),
+            (d_inner,))
         self.A_log = self.param("A_log", _a_log_init(self.d_state),
                                 (d_inner, self.d_state))
         self.D = self.param("D", nn.initializers.ones, (d_inner,))

@@ -258,6 +258,10 @@ class RebuildTrainer:
         def step(state: RebuildState, batch, lr):
             rngs = {"dropout": jax.random.fold_in(base_rng, state.step),
                     "rebuild": jax.random.fold_in(base_rng, state.step + 1)}
+            if cfg.modality_missing_type == "randlike":
+                # randlike missing substitutes fresh random tensors at the
+                # fusion input every forward (mambafuser_seq.py:361-391)
+                rngs["missing"] = jax.random.fold_in(base_rng, state.step + 2)
             opt_params = {"heads": state.head_params,
                           "fusion": state.fusion_params}
             grads, aux = jax.grad(loss_fn, has_aux=True)(
@@ -296,14 +300,23 @@ class RebuildTrainer:
         return rebuild
 
     def _build_eval_step(self):
+        cfg = self.cfg
+        base_rng = jax.random.PRNGKey(self.opts.seed)
+
         @jax.jit
-        def eval_step(state: RebuildState, batch):
+        def eval_step(state: RebuildState, batch, batch_idx=0):
             rebuild = self.rebuild_features(state, batch)
+            rngs = None
+            if cfg.modality_missing_type == "randlike":
+                # fresh substitute noise per eval batch, as torch.rand_like
+                # draws per forward (mambafuser_seq.py:361-391)
+                key = jax.random.fold_in(base_rng, state.step)
+                rngs = {"missing": jax.random.fold_in(key, batch_idx)}
             logits = self.fusion_model.apply(
                 {"params": state.fusion_params,
                  "batch_stats": state.fusion_stats},
                 batch["image"], batch["lidar"], batch["radar"], batch["gps"],
-                rebuild_feats=rebuild, train=False)
+                rebuild_feats=rebuild, train=False, rngs=rngs)
             out = {"ranks": jnp.argsort(logits, axis=-1, descending=True)}
             if "beam" in batch:
                 out["loss"] = focal_loss(logits, batch["beam"])

@@ -95,7 +95,13 @@ class Engine:
             if opts.steps_per_dispatch > 1 else None)
         self.eval_step = make_eval_step(
             model, cfg, loss_name=opts.loss, temp_coef=opts.temp_coef,
-            use_ema=opts.ema)
+            use_ema=opts.ema, rng_seed=opts.seed)
+        # test() forwards with the raw weights: the reference's test() never
+        # applies the EMA shadow — only validate() does (train2_seq.py:159-160
+        # vs 224-252)
+        self.test_step = (self.eval_step if not opts.ema else make_eval_step(
+            model, cfg, loss_name=opts.loss, temp_coef=opts.temp_coef,
+            use_ema=False, rng_seed=opts.seed))
 
         self.timer = StepTimer()
         self.state: Optional[TrainState] = None
@@ -382,7 +388,7 @@ class Engine:
         for i, (batch, dev, n) in enumerate(self._staged(loader)):
             if self.state is None:
                 self.init_state(batch)
-            m = self.eval_step(self.state, dev, i)
+            m = self.test_step(self.state, dev, i)
             pred_all.append(np.asarray(m["ranks"])[:n])
             conf_all.append(np.asarray(m["confidence"])[:n])
         pred_all = np.concatenate(pred_all, 0)
@@ -431,12 +437,16 @@ class Engine:
             ckpt.flush()            # read-after-write: land pending saves
             params, stats = ckpt.load_model(
                 self.opts.logdir, "best_model", state.params, state.batch_stats)
-            opt_state, ema = ckpt.load_optim(
+            opt_state, _ = ckpt.load_optim(
                 self.opts.logdir, "best_optim", state.opt_state,
                 state.ema_params)
+            # the live EMA shadow is deliberately NOT rolled back: the
+            # reference's load_previous_best restores model + optimizer only
+            # and its EMA object keeps decaying from the current shadow
+            # (train2_seq.py:286-289)
             self.state = replicate(
                 state.replace(params=params, batch_stats=stats,
-                              opt_state=opt_state, ema_params=ema), self.mesh)
+                              opt_state=opt_state), self.mesh)
             print("====== Load the previous best model ======>")
 
     def _save_finetune(self) -> None:

@@ -151,6 +151,32 @@ class TestCache:
         d = str(tmp_path / "cache2")
         assert build_cache(ds, d) == build_cache(ds, d)
 
+    def test_multistep_labels_roundtrip(self, tmp_path):
+        """30to5 variant: per-sample beamidx is (pred_len,) — the cache must
+        preserve the vector labels (data2_seq_30to5.py:160-172)."""
+
+        class _Fake:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                r = np.random.default_rng(i)
+                return {
+                    "image": r.uniform(0, 255, (2, 8, 8, 3)).astype(np.float32),
+                    "gps": r.normal(size=(2, 2)).astype(np.float32),
+                    "beam": r.uniform(0, 1, (5, 64)).astype(np.float32),
+                    "beamidx": r.integers(0, 64, (5,)).astype(np.int32),
+                    "scenario": f"scenario{31 + i}",
+                }
+
+        ds = _Fake()
+        cds = CachedDataset(build_cache(ds, str(tmp_path / "c30to5")))
+        for i in (0, 3):
+            a, b = ds[i], cds[i]
+            assert b["beamidx"].shape == (5,)
+            np.testing.assert_array_equal(b["beamidx"], a["beamidx"])
+            np.testing.assert_allclose(b["beam"], a["beam"], atol=1e-3)
+
     def test_feeds_loader(self, tree, tmp_path):
         root, csv = tree
         ds = BeamDataset(root, csv, CFG)

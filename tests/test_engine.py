@@ -241,6 +241,50 @@ class TestEngine:
                  zip(jax.tree_util.tree_leaves(p), jax.tree_util.tree_leaves(e))]
         assert max(diffs) > 0
 
+    def test_test_uses_raw_weights_not_ema(self, tmp_path, rng):
+        """The reference's test() never applies the EMA shadow — only
+        validate() brackets with apply_shadow()/restore()
+        (train2_seq.py:159-160 vs 224-252)."""
+        eng = self._engine(tmp_path, rng, ema=True)
+        loader = _loader(rng, n_batches=2, B=8)
+        eng.train(loader)
+        # make the shadow unmistakably different from the live params
+        eng.state = eng.state.replace(ema_params=jax.tree_util.tree_map(
+            jnp.zeros_like, eng.state.ema_params))
+        batch, dev, n = next(iter(eng._staged(loader[:1])))
+        val_conf = np.asarray(eng.eval_step(eng.state, dev, 0)["confidence"])
+        test_conf = np.asarray(eng.test_step(eng.state, dev, 0)["confidence"])
+        assert not np.allclose(val_conf, test_conf)   # shadow vs raw forward
+        # and without EMA the two steps are literally the same program
+        eng2 = self._engine(tmp_path, rng)
+        assert eng2.test_step is eng2.eval_step
+
+    def test_rollback_preserves_live_ema(self, tmp_path, rng):
+        """load_previous_best restores model + optimizer only; the EMA
+        shadow keeps decaying from its current value
+        (train2_seq.py:286-289 — the EMA object is untouched)."""
+        eng = self._engine(tmp_path, rng, ema=True,
+                           load_previous_best=True)
+        loader = _loader(rng, n_batches=1, B=8)
+        eng.train(loader)
+        eng.validate(loader)
+        eng.save()                                   # epoch 0 becomes best
+        eng.cur_epoch += 1
+        eng.DBA.append(-1.0)                         # fake a worse epoch
+        eng.train(loader)
+        ema_live = jax.device_get(eng.state.ema_params)
+        params_moved = jax.device_get(eng.state.params)
+        eng.save()                                   # rolls back to best
+        rolled = jax.device_get((eng.state.params, eng.state.ema_params))
+        leaves = jax.tree_util.tree_leaves
+        # params rolled back...
+        moved = any(np.abs(a - b).max() > 0
+                    for a, b in zip(leaves(rolled[0]), leaves(params_moved)))
+        assert moved
+        # ...but the live EMA shadow is untouched by the rollback
+        for a, b in zip(leaves(rolled[1]), leaves(ema_live)):
+            np.testing.assert_array_equal(a, b)
+
     def test_finetune_stream(self, tmp_path, rng):
         eng = self._engine(tmp_path, rng, finetune=True)
         loader = _loader(rng, n_batches=1, B=8)

@@ -378,6 +378,62 @@ class TestSampleMask:
                                        rtol=1e-4, atol=1e-5)
 
 
+class TestMultiViewSampleMask:
+    def test_padded_forward_with_n_views_2(self, rng):
+        """The image stream carries n_views*seq_len frames per sample while
+        lidar/radar carry seq_len — the BN sample mask must be sized per
+        stream (regression: a single mask sized off the image stream crashed
+        every n_views>1 ragged batch)."""
+        cfg = SMALL.replace(n_views=2, embd_pdrop=0.0, resid_pdrop=0.0,
+                            attn_pdrop=0.0, vert_anchors=2, horz_anchors=2,
+                            input_resolution=64, crop=64, FFM=0, TFM=0)
+        model = BeamFuser(cfg)
+        T = cfg.seq_len
+        img = jnp.asarray(rng.uniform(
+            0, 255, (3, cfg.n_views * T, 64, 64, 3)).astype(np.float32))
+        lid = jnp.asarray(rng.uniform(0, 1, (3, T, 64, 64, 1)).astype(np.float32))
+        rad = jnp.asarray(rng.uniform(0, 1, (3, T, 64, 64, 2)).astype(np.float32))
+        gps = jnp.asarray(rng.normal(size=(3, 2, 2)).astype(np.float32))
+        v = jinit(model, img, lid, rad, gps)
+        mask = jnp.array([1.0, 1.0, 0.0], jnp.float32)
+        logits, _ = jax.jit(
+            lambda v_, im, li, ra, g, m: model.apply(
+                v_, im, li, ra, g, train=True, mutable=["batch_stats"],
+                sample_mask=m))(v, img, lid, rad, gps, mask)
+        assert logits.shape == (3, 64)
+        assert np.isfinite(np.asarray(logits)).all()
+
+
+class TestMambaInitStyles:
+    def test_fusion_mambas_use_gpt2_clobber_timemamba_keeps_mamba_ssm(self):
+        """The reference MambaFusion/GPT applies _init_weights over its block
+        stack, overwriting every inner Linear of the fusion Mambas with
+        N(0, 0.02) and ZERO biases — dt_proj.bias included, so fusion blocks
+        start at dt = softplus(0) (mambafuser_seq.py:138,143-147).  TimeMamba's
+        Mamba is not under that apply and keeps mamba_ssm's inverse-softplus
+        dt-bias init (mambafuser_seq.py:240)."""
+        blk = MambaBlock(n_embd=64, n_tokens=8, use_pallas=False)
+        v = blk.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 64)))
+        for branch in ("forward_mamba", "backward_mamba"):
+            p = v["params"][branch]
+            np.testing.assert_array_equal(np.asarray(p["dt_proj_bias"]), 0.0)
+            k = np.asarray(p["in_proj"]["kernel"])
+            assert 0.01 < k.std() < 0.03       # N(0, 0.02) weights
+            assert abs(np.asarray(p["dt_proj_weight"]).std() - 0.02) < 0.01
+
+        tm = TimeMamba(d_model=64, seq_len=2, gps_tokens=2)
+        tracks = [jnp.zeros((1, 2, 64))] * 3
+        vt = tm.init(jax.random.PRNGKey(0), *tracks, jnp.zeros((1, 2, 64)))
+        dt_bias = np.asarray(vt["params"]["mamba"]["dt_proj_bias"])
+        assert np.abs(dt_bias).min() > 0       # inverse-softplus init, not 0
+
+    def test_unknown_style_rejected(self):
+        from deepsense6g_tii_tpu.ops.mamba import Mamba
+        with pytest.raises(ValueError):
+            Mamba(d_model=16, init_style="xavier").init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 4, 16)))
+
+
 class TestRematPolicies:
     def test_remat_grads_match_none(self, rng):
         """jax.checkpoint is semantically identity: gradients under each

@@ -35,6 +35,17 @@ class TestRadarPipeline:
         np.testing.assert_allclose(ra_b[0], ra_0, atol=1e-5)
         np.testing.assert_allclose(rv_b[0], rv_0, atol=1e-5)
 
+    def test_repeat_calls_hit_the_jit_cache(self, rng):
+        """The jitted FFT pipeline must be a module-level callable: a fresh
+        jax.jit wrapper per call would re-trace for every 64-cube chunk of a
+        scenario (regression)."""
+        cubes = rng.normal(size=(2, 4, 64, 50)).astype(np.float32)
+        radar.process_batch(cubes)
+        before = radar._jit_radar_maps_batch._cache_size()
+        radar.process_batch(cubes)
+        radar.process_batch(cubes.copy())
+        assert radar._jit_radar_maps_batch._cache_size() == before
+
 
 class TestLidarFilter:
     def _static_scene(self, rng, n=500):

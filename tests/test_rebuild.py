@@ -101,6 +101,31 @@ class TestRebuildTrainer:
         state = trainer.init_state(variables, dev)
         return trainer, state, dev
 
+    def test_randlike_missing_runs(self):
+        """randlike modality-missing draws substitute noise inside the
+        fusion forward (mambafuser_seq.py:361-391) — train/eval/init must
+        all supply the 'missing' rng stream."""
+        cfg = CFG.replace(modality_missing_type="randlike")
+        rng = np.random.default_rng(1)
+        model = BeamFuser(cfg)
+        batch = make_batch(rng, B=2, T=2, H=64, W=64)
+        dev = {k: jnp.asarray(v) for k, v in batch.items() if k != "scenario"}
+        variables = jax.jit(lambda: model.init(
+            {"params": jax.random.PRNGKey(0),
+             "missing": jax.random.PRNGKey(1)},
+            dev["image"], dev["lidar"], dev["radar"], dev["gps"]))()
+        trainer = RebuildTrainer(model, cfg, RebuildOptions(
+            source_domain=("lidar", "radar"), target_domain="image"))
+        state = trainer.init_state(variables, dev)
+        state, aux = trainer.train_step(state, dev, 1e-4)
+        assert np.isfinite(float(aux["loss"]))
+        # at eval the rebuilt features fully replace the missing modality,
+        # so the substitute noise is traced but cannot reach the logits —
+        # this pins only that the 'missing' rng stream is supplied
+        m0 = trainer.eval_step(state, dev, 0)
+        assert m0["ranks"].shape == (2, 64)
+        assert np.isfinite(float(m0["loss"]))
+
     def test_requires_matching_missing_config(self):
         model = BeamFuser(CFG.replace(modality_missing=None))
         with pytest.raises(ValueError):
