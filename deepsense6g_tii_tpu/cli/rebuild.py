@@ -17,6 +17,8 @@ from datetime import datetime
 
 import numpy as np
 
+from .train import _geometry_overrides
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
@@ -59,6 +61,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--seq_len", type=int, default=5)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    # model-geometry knobs (reference defaults when unset) — see cli/train.py
+    p.add_argument("--input_resolution", type=int, default=None)
+    p.add_argument("--vert_anchors", type=int, default=None)
+    p.add_argument("--horz_anchors", type=int, default=None)
+    p.add_argument("--n_layer", type=int, default=None)
+    p.add_argument("--backbone_blocks", type=str, default=None)
     return p
 
 
@@ -91,7 +99,8 @@ def main(argv=None) -> int:
         enhanced=args.enhanced, angle_norm=args.angle_norm,
         custom_FoV_lidar=args.custom_FoV_lidar, filtered=args.filtered,
         add_seg=args.add_seg, data_root=args.data_root,
-        compute_dtype=args.compute_dtype)
+        compute_dtype=args.compute_dtype,
+        **_geometry_overrides(args))
 
     # datasets: dev + adaptation merged, 90/10 (rebuild trainer lines 690-700)
     development = BeamDataset(cfg.data_root + "/Multi_Modal/",

@@ -74,6 +74,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Adam first-moment storage dtype (default f32 = "
                         "exact torch-AdamW trajectory; bfloat16 saves "
                         "2 bytes/param of HBM for larger batches)")
+    # -- model-geometry knobs (not in the reference CLI; reference defaults
+    #    when unset).  Small values make the real model cheap enough for
+    #    CPU smoke runs and scaled-down experiments.
+    p.add_argument("--input_resolution", type=int, default=None,
+                   help="input image/BEV/radar side (default 256)")
+    p.add_argument("--vert_anchors", type=int, default=None)
+    p.add_argument("--horz_anchors", type=int, default=None)
+    p.add_argument("--n_layer", type=int, default=None,
+                   help="fusion blocks per scale (default 8)")
+    p.add_argument("--backbone_blocks", type=str, default=None,
+                   help="comma-separated per-stage block counts, "
+                        "e.g. 1,1,1,1 (default: reference ResNet depths)")
     p.add_argument("--multihost", type=int, default=0,
                    help="jax.distributed.initialize() for multi-host DCN "
                         "training; same code, bigger ('data',) mesh")
@@ -116,7 +128,25 @@ def config_from_args(args):
         remat={"0": "none", "1": "fusion"}.get(args.remat, args.remat),
         opt_mu_dtype=(None if args.opt_mu_dtype in (None, "float32")
                       else args.opt_mu_dtype),
+        **_geometry_overrides(args),
     )
+
+
+def _geometry_overrides(args):
+    """Optional model-geometry overrides shared by the train/rebuild CLIs;
+    only explicitly-passed flags reach GlobalConfig (frozen defaults
+    otherwise)."""
+    kw = {}
+    if getattr(args, "input_resolution", None) is not None:
+        kw["input_resolution"] = args.input_resolution
+        kw["crop"] = args.input_resolution
+    for f in ("vert_anchors", "horz_anchors", "n_layer"):
+        if getattr(args, f, None) is not None:
+            kw[f] = getattr(args, f)
+    if getattr(args, "backbone_blocks", None):
+        kw["backbone_blocks"] = tuple(
+            int(x) for x in args.backbone_blocks.split(","))
+    return kw
 
 
 def main(argv=None) -> int:

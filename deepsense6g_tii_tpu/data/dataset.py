@@ -24,7 +24,17 @@ from ..config import GlobalConfig
 from ..utils import ply
 from . import features as F
 
-RES = 256
+def _shrink_map(arr: np.ndarray, res: int) -> np.ndarray:
+    """Block-mean downsample of a square on-disk map (radar .npy / BEV are
+    produced at 256) to ``config.input_resolution``.  No-op at the reference
+    256 — this only serves the debug/experiment geometry knobs."""
+    s = arr.shape[0]
+    if s == res:
+        return arr
+    if s % res:
+        raise ValueError(f"input_resolution {res} must divide map size {s}")
+    k = s // res
+    return arr.reshape(res, k, res, k).mean(axis=(1, 3)).astype(arr.dtype)
 
 
 def _insert_tag(path: str, tag: str, pos: int = 30) -> str:
@@ -116,14 +126,15 @@ class BeamDataset:
     def _load_image(self, rel: str, index: int) -> np.ndarray:
         from PIL import Image
         cfg = self.config
-        img = np.array(Image.open(self.root + rel).resize((RES, RES)))
+        res = cfg.input_resolution      # reference: fixed 256 (data2_seq.py:112)
+        img = np.array(Image.open(self.root + rel).resize((res, res)))
         if (self.augment["camera"] == 0 and cfg.add_seg and not cfg.add_mask
                 and ("scenario31" in rel or "scenario32" in rel)):
             # blend the car-segmentation overlay (data2_seq.py:113-121):
             # imgs*0.8 + (imgs & seg_mask)*0.5, uint8-saturating like
             # cv2.addWeighted
             seg = np.array(Image.open(
-                self.root + _insert_tag(rel, "_seg")).resize((RES, RES)))
+                self.root + _insert_tag(rel, "_seg")).resize((res, res)))
             a = seg[..., 2:3].repeat(3, axis=2)
             seg_car = np.bitwise_and(img, a)
             img = np.clip(np.rint(img * 0.8 + seg_car * 0.5), 0,
@@ -164,13 +175,17 @@ class BeamDataset:
                 img = np.ascontiguousarray(np.flip(img, 1))
             images.append(img.astype(np.float32))
 
-            radar_ang = np.load(self.root + self._radar_path(t, index))
+            radar_ang = _shrink_map(
+                np.load(self.root + self._radar_path(t, index)),
+                cfg.input_resolution)
             if self.flip:
                 radar_ang = np.ascontiguousarray(np.flip(radar_ang, 1))
             chans = [radar_ang]
             if cfg.add_velocity:
-                vel = np.load(self.root
-                              + self._radar_path(t, index).replace("ang", "vel"))
+                vel = _shrink_map(
+                    np.load(self.root
+                            + self._radar_path(t, index).replace("ang", "vel")),
+                    cfg.input_resolution)
                 if self.flip:
                     vel = np.ascontiguousarray(np.flip(vel, 1))
                 chans.append(vel)
@@ -178,7 +193,8 @@ class BeamDataset:
 
             lidar_rel = self._lidar_path(t, index)
             fov = F.fov_for_address(lidar_rel, bool(cfg.custom_FoV_lidar))
-            bev = self._lidar_bev(self.root + lidar_rel, fov)  # (256, 256)
+            bev = _shrink_map(self._lidar_bev(self.root + lidar_rel, fov),
+                              cfg.input_resolution)     # (256, 256) native
             if self.flip:
                 bev = np.ascontiguousarray(np.flip(bev, 1))
             lidars.append(bev[..., np.newaxis].astype(np.float32))

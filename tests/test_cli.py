@@ -99,3 +99,26 @@ class TestEndToEnd:
         lines = open(tmp_path / "beam_pred.csv").read().strip().split("\n")
         assert lines[0] == "index,top-1 beam,top-2 beam,top-3 beam"
         assert len(lines) == 1 + 4   # 2 scenarios x 2 samples
+
+
+class TestRealModelEndToEnd:
+    def test_train_cli_runs_the_real_fuser(self, dataset_root, tmp_path):
+        """Full CLI path with the REAL BeamFuser (no TinyFuser patch) at
+        debug geometry (--input_resolution/--backbone_blocks knobs): arg
+        parsing -> dataset assembly -> jitted sharded train step -> EMA ->
+        validation -> checkpoints."""
+        logdir = str(tmp_path / "real")
+        rc = cli.main([
+            "--data_root", dataset_root, "--logdir", logdir,
+            "--epochs", "1", "--batch_size", "4", "--seq_len", "2",
+            "--augmentation", "0", "--train_adapt_together", "1",
+            "--scheduler", "0", "--num_workers", "2", "--ema", "1",
+            "--compute_dtype", "float32",
+            "--input_resolution", "64", "--vert_anchors", "2",
+            "--horz_anchors", "2", "--n_layer", "1",
+            "--backbone_blocks", "1,1,1,1"])
+        assert rc == 0
+        rec = json.load(open(os.path.join(logdir, "recent.log")))
+        assert rec["epoch"] == 1
+        assert np.isfinite(rec["train_loss"][-1])
+        assert os.path.exists(os.path.join(logdir, "final_model.msgpack"))

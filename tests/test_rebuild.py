@@ -197,3 +197,41 @@ class TestRebuildTrainer:
                               "radar_encoder"}
         assert "stem" in parts["image_encoder"]
         assert "stage1" in parts["lidar_encoder"]
+
+
+class TestRebuildCliEndToEnd:
+    def test_main_trains_validates_checkpoints(self, tmp_path):
+        """cli.rebuild.main end-to-end with the REAL fuser at debug geometry
+        and randlike modality-missing: dataset assembly -> init (with the
+        'missing' rng) -> dual-LR training -> injected validation -> 5-way
+        checkpoints + run record."""
+        import json
+        import os
+
+        from synthetic_data import make_fake_dataset_tree
+        from deepsense6g_tii_tpu.cli import rebuild as rebuild_cli
+
+        root = tmp_path / "ds"
+        mm, ad = root / "Multi_Modal", root / "Adaptation_dataset_multi_modal"
+        c1 = make_fake_dataset_tree(str(mm) + "/", n_samples=3, seq_len=2)
+        os.rename(mm / c1, mm / "ml_challenge_dev_multi_modal.csv")
+        c2 = make_fake_dataset_tree(str(ad) + "/", n_samples=2, seq_len=2)
+        os.rename(ad / c2, ad / "ml_challenge_data_adaptation_multi_modal.csv")
+
+        logdir = str(tmp_path / "rb")
+        rc = rebuild_cli.main([
+            "-s", "lidar", "radar", "-t", "image",
+            "--modality_missing_type", "randlike",
+            "--data_root", str(root), "--logdir", logdir,
+            "--epochs", "1", "--batch_size", "1", "--seq_len", "2",
+            "--scheduler", "0", "--num_workers", "2",
+            "--compute_dtype", "float32",
+            "--input_resolution", "64", "--vert_anchors", "2",
+            "--horz_anchors", "2", "--n_layer", "1",
+            "--backbone_blocks", "1,1,1,1"])
+        assert rc == 0
+        rec = json.load(open(os.path.join(logdir, "recent.log")))
+        assert rec["epoch"] == 1 and len(rec["DBA"]) == 1
+        for f in ("final_fusion_model.msgpack", "best_fusion_model.msgpack",
+                  "best_optim.msgpack"):
+            assert os.path.exists(os.path.join(logdir, f)), f
