@@ -16,7 +16,6 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from deepsense6g_tii_tpu.config import GlobalConfig
@@ -27,6 +26,7 @@ from deepsense6g_tii_tpu.parallel.mesh import (make_mesh, replicate,
 from deepsense6g_tii_tpu.train.state import create_train_state, make_optimizer
 from deepsense6g_tii_tpu.train.steps import (make_multi_train_step,
                                              make_train_step)
+from deepsense6g_tii_tpu.utils.synth import make_synth_batch
 
 BASELINE_SAMPLES_PER_SEC_PER_CHIP = 2.85
 
@@ -43,7 +43,6 @@ def main():
     # the tunneled host's ~30 ms/step dispatch+sync gap off the measurement,
     # exactly as the production engine runs (train/engine.py::_staged_train).
     K = int(os.environ.get("DEEPSENSE_BENCH_K", 8 if on_tpu else 1))
-    T = 5
 
     # DEEPSENSE_BENCH_ARCH=gpt benches the GPT TransFuser (the 0.6671
     # challenge winner, no Mamba) instead of the flagship MambaFuser
@@ -56,22 +55,10 @@ def main():
                        FFM=0 if arch == "gpt" else 1,
                        TFM=0 if arch == "gpt" else 1)
     model = BeamFuser(cfg)
-    rng = np.random.default_rng(0)
-    batch = {
-        "image": rng.uniform(0, 255, (B, T, 256, 256, 3)).astype(np.float32),
-        "lidar": rng.uniform(0, 1, (B, T, 256, 256, 1)).astype(np.float32),
-        "radar": rng.uniform(0, 1, (B, T, 256, 256, 2)).astype(np.float32),
-        "gps": rng.normal(size=(B, 2, 2)).astype(np.float32),
-        "beam": rng.uniform(0, 1, (B, 64)).astype(np.float32),
-        "beamidx": rng.integers(0, 64, (B,)).astype(np.int32),
-    }
+    batch = make_synth_batch(cfg, B)
 
     mesh = make_mesh()
     tx = make_optimizer(mu_dtype=cfg.opt_mu_dtype)
-    variables = jax.eval_shape(
-        model.init, jax.random.PRNGKey(0),
-        batch["image"][:1], batch["lidar"][:1], batch["radar"][:1],
-        batch["gps"][:1])
     variables = jax.jit(
         lambda: model.init(jax.random.PRNGKey(0), batch["image"][:1],
                            batch["lidar"][:1], batch["radar"][:1],
@@ -117,9 +104,11 @@ def _run_with_retry():
     try:
         main()
     except Exception as e:          # noqa: BLE001 - deliberate broad retry
+        import sys
         import traceback
+        # stderr: stdout must stay exactly ONE JSON line for consumers
         print(f"bench attempt 1 failed ({type(e).__name__}); retrying once",
-              flush=True)
+              file=sys.stderr, flush=True)
         traceback.print_exc()
         main()
 

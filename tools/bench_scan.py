@@ -42,7 +42,29 @@ def _inputs(d, seed=0):
     return u, dt, A, Bm, C
 
 
+def _sync_latency():
+    """Measured dispatch+readback latency of a trivial program — ~29 ms on
+    the axon tunnel, ~0 on CPU or a co-located TPU.  Subtracting the
+    measured value (not a hardcoded tunnel constant) keeps the per-call
+    numbers honest on every backend."""
+    one = jnp.ones(())
+    tiny = jax.jit(lambda x: x + 1.0)
+    _ = float(tiny(one))            # compile
+    best = float("inf")
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        _ = float(tiny(one))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+_SYNC = None
+
+
 def _time(fn, args):
+    global _SYNC
+    if _SYNC is None:
+        _SYNC = _sync_latency()
     # chain: out feeds a scalar that the next call's input depends on
     @jax.jit
     def chained(args):
@@ -62,7 +84,7 @@ def _time(fn, args):
         r = chained(args)
         _ = float(r)
         best = min(best, (time.perf_counter() - t0))
-    return (best - 0.029) / ITERS * 1e3  # ms per call, net of one sync
+    return (best - _SYNC) / ITERS * 1e3  # ms per call, net of one sync
 
 
 def main():

@@ -39,24 +39,20 @@ def main():
     from deepsense6g_tii_tpu.train.state import (create_train_state,
                                                  make_optimizer)
 
-    rng = np.random.default_rng(0)
-    B = args.batch
-    idx = rng.integers(0, 64, B)
-    batch = dict(
-        image=jnp.asarray(rng.uniform(0, 255, (B, 5, 256, 256, 3))
-                          .astype(np.float32)),
-        lidar=jnp.asarray(rng.uniform(0, 1, (B, 5, 256, 256, 1))
-                          .astype(np.float32)),
-        radar=jnp.asarray(rng.uniform(0, 1, (B, 5, 256, 256, 2))
-                          .astype(np.float32)),
-        gps=jnp.asarray(rng.normal(size=(B, 2, 2)).astype(np.float32)),
-        beam=jnp.asarray(np.stack([soft_beam_target_np(i) for i in idx])
-                         .astype(np.float32)),
-        beamidx=jnp.asarray(idx.astype(np.int32)))
+    from deepsense6g_tii_tpu.utils.synth import make_synth_batch
 
     on_tpu = jax.default_backend() == "tpu"
     cfg = GlobalConfig(use_pallas_scan=on_tpu,
                        compute_dtype="bfloat16" if on_tpu else "float32")
+    rng = np.random.default_rng(0)
+    B = args.batch
+    idx = rng.integers(0, 64, B)
+    batch = make_synth_batch(cfg, B)
+    # overfitting target: REAL soft beam labels (fixed), not synth noise
+    batch["beam"] = np.stack([soft_beam_target_np(i) for i in idx]
+                             ).astype(np.float32)
+    batch["beamidx"] = idx.astype(np.int32)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
     model = BeamFuser(cfg)
     v = jax.jit(lambda: model.init(
         jax.random.PRNGKey(0), batch["image"][:1], batch["lidar"][:1],

@@ -5,7 +5,9 @@ converts the XPlane trace with xprof's framework_op_stats tool and prints
 the top device ops grouped by category.  The r1/r2 optimization loop was
 driven by this breakdown (NOTES_NEXT_ROUND.md).
 
-Usage: python tools/profile_step.py [B]
+Usage: python tools/profile_step.py [B_per_chip]
+(honors the same DEEPSENSE_BENCH_* env knobs as bench.py: B/K/ARCH/REMAT/
+MU_DTYPE/UNROLL — keep them identical to the bench run being explained)
 """
 
 import glob
@@ -24,47 +26,50 @@ from deepsense6g_tii_tpu.parallel.mesh import (make_mesh, replicate,
                                                 shard_batch)
 from deepsense6g_tii_tpu.train.state import create_train_state, make_optimizer
 from deepsense6g_tii_tpu.train.steps import make_train_step
+from deepsense6g_tii_tpu.utils.synth import make_synth_batch
 
 
 def main():
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    K = int(os.environ.get("DEEPSENSE_BENCH_K", "1"))
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
+    n_chips = len(jax.devices())
     on_tpu = jax.default_backend() == "tpu"
+    # mirror bench.py EXACTLY — same env knobs, same config, same host-side
+    # batch construction and init — so the breakdown describes the program
+    # bench.py measures and the persistent jit cache is shared with it
+    B = (int(sys.argv[1]) if len(sys.argv) > 1
+         else int(os.environ.get("DEEPSENSE_BENCH_B",
+                                 8 if on_tpu else 1))) * n_chips
+    K = int(os.environ.get("DEEPSENSE_BENCH_K", "1"))
+    arch = os.environ.get("DEEPSENSE_BENCH_ARCH", "mamba")
     cfg = GlobalConfig(use_pallas_scan=on_tpu,
-                       compute_dtype="bfloat16" if on_tpu else "float32")
+                       compute_dtype="bfloat16" if on_tpu else "float32",
+                       remat=os.environ.get("DEEPSENSE_BENCH_REMAT", "none"),
+                       opt_mu_dtype=os.environ.get("DEEPSENSE_BENCH_MU_DTYPE")
+                       or None,
+                       FFM=0 if arch == "gpt" else 1,
+                       TFM=0 if arch == "gpt" else 1)
     model = BeamFuser(cfg)
-    rng = np.random.default_rng(0)
-    T = cfg.seq_len
-    batch = {
-        "image": rng.uniform(0, 255, (B, T, 256, 256, 3)).astype(np.float32),
-        "lidar": rng.uniform(0, 1, (B, T, 256, 256, 1)).astype(np.float32),
-        "radar": rng.uniform(0, 1, (B, T, 256, 256, 2)).astype(np.float32),
-        "gps": rng.normal(size=(B, 2, 2)).astype(np.float32),
-        "beam": np.eye(64, dtype=np.float32)[rng.integers(0, 64, B)],
-        "beamidx": rng.integers(0, 64, B).astype(np.int32),
-    }
-    # mirror bench.py exactly so the jit cache is shared with it
+    batch = make_synth_batch(cfg, B)
+
     mesh = make_mesh()
-    batch = shard_batch(batch, mesh)
+    tx = make_optimizer(mu_dtype=cfg.opt_mu_dtype)
     variables = jax.jit(
         lambda: model.init(jax.random.PRNGKey(0), batch["image"][:1],
                            batch["lidar"][:1], batch["radar"][:1],
                            batch["gps"][:1]))()
-    tx = make_optimizer()
     state = replicate(create_train_state(variables, tx), mesh)
     if K > 1:
         from deepsense6g_tii_tpu.parallel.mesh import shard_stacked_batch
         from deepsense6g_tii_tpu.train.steps import make_multi_train_step
-        host = jax.device_get(batch)
-        stacked = jax.tree_util.tree_map(
-            lambda x: np.broadcast_to(x, (K,) + x.shape).copy(), host)
+        stacked = {k: np.broadcast_to(v, (K,) + v.shape).copy()
+                   for k, v in batch.items()}
         batch = shard_stacked_batch(stacked, mesh)
         unroll = int(os.environ.get("DEEPSENSE_BENCH_UNROLL", "1"))
         step = make_multi_train_step(model, cfg, tx, unroll=unroll,
                                      use_ema=True)
     else:
+        batch = shard_batch(batch, mesh)
         step = make_train_step(model, cfg, tx, use_ema=True)
     state, m = step(state, batch, 1e-4)
     _ = float(np.asarray(m["loss"]).ravel()[-1])   # compile + sync
