@@ -1,0 +1,57 @@
+"""Data-parallel correctness: the 8-device-sharded jitted train step
+computes the same trajectory as the single-device run.
+
+This is the capability-parity proof for the reference's DataParallel
+(train2_seq.py:538 — replicate/scatter/gather every step): under GSPMD the
+same single jitted program runs with the batch sharded over the ('data',)
+mesh, gradients all-reduced by XLA, BatchNorm statistics global-batch by
+construction.  Sharding must change the numerics only by float reduction
+order.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from deepsense6g_tii_tpu.config import GlobalConfig
+from deepsense6g_tii_tpu.parallel.mesh import (make_mesh, replicate,
+                                               shard_batch)
+from deepsense6g_tii_tpu.train.state import create_train_state, make_optimizer
+from deepsense6g_tii_tpu.train.steps import make_train_step
+
+from synthetic_data import TinyFuser, make_batch
+
+CFG = GlobalConfig(seq_len=2, use_pallas_scan=False, compute_dtype="float32")
+
+
+def _run(n_devices, batches, steps=3):
+    mesh = make_mesh(n_devices)
+    model = TinyFuser(CFG)
+    tx = make_optimizer()
+    step = make_train_step(model, CFG, tx, use_ema=True, rng_seed=0)
+    v = model.init(jax.random.PRNGKey(0), batches[0]["image"],
+                   batches[0]["lidar"], batches[0]["radar"],
+                   batches[0]["gps"])
+    state = replicate(create_train_state(v, tx), mesh)
+    losses = []
+    for b in batches[:steps]:
+        dev = shard_batch({k: np.asarray(x) for k, x in b.items()
+                           if k != "scenario"}, mesh)
+        state, m = step(state, dev, 1e-3)
+        losses.append(float(m["loss"]))
+    return losses, jax.device_get((state.params, state.ema_params,
+                                   state.batch_stats))
+
+
+class TestDataParallelEquivalence:
+    def test_sharded_equals_single_device(self, rng):
+        assert len(jax.devices()) >= 8, "conftest forces the 8-device mesh"
+        batches = [make_batch(rng, B=8) for _ in range(3)]
+        l1, t1 = _run(1, batches)
+        l8, t8 = _run(8, batches)
+        # same program, different shardings: only all-reduce float
+        # reassociation may differ
+        np.testing.assert_allclose(l1, l8, rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(t1),
+                        jax.tree_util.tree_leaves(t8)):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
