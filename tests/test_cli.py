@@ -122,3 +122,59 @@ class TestRealModelEndToEnd:
         assert rec["epoch"] == 1
         assert np.isfinite(rec["train_loss"][-1])
         assert os.path.exists(os.path.join(logdir, "final_model.msgpack"))
+
+
+class TestValAndFinetuneModes:
+    def test_val_mode_validates_and_exits(self, dataset_root, tmp_path,
+                                          monkeypatch, capsys):
+        monkeypatch.setattr("deepsense6g_tii_tpu.models.fuser.BeamFuser",
+                            TinyFuser)
+        logdir = str(tmp_path / "runV")
+        rc = cli.main([
+            "--data_root", dataset_root, "--logdir", logdir,
+            "--Val", "1", "--batch_size", "2", "--seq_len", "2",
+            "--augmentation", "0", "--scheduler", "0", "--num_workers", "2",
+            "--compute_dtype", "float32"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "Val finish" in out
+        # --Val mangles the logdir (train2_seq.py:67) and trains nothing
+        assert os.path.isdir(logdir + "_val")
+        assert not os.path.exists(os.path.join(logdir + "_val",
+                                               "final_model.msgpack"))
+
+    def test_finetune_mode_writes_finetune_stream(self, tmp_path,
+                                                  monkeypatch):
+        """Finetune mode = adaptation set + 25 random scenario-34 dev
+        samples from a pre-built scenario34.csv (train2_seq.py:466-476;
+        the csv comes from createDataset == create_scenario_csv)."""
+        from deepsense6g_tii_tpu.data.preprocess.csv_builder import (
+            create_scenario_csv)
+
+        monkeypatch.setattr("deepsense6g_tii_tpu.models.fuser.BeamFuser",
+                            TinyFuser)
+        root = tmp_path / "dsft"
+        mm = root / "Multi_Modal"
+        ad = root / "Adaptation_dataset_multi_modal"
+        c1 = make_fake_dataset_tree(str(mm) + "/", n_samples=25, seq_len=2,
+                                    scenarios=("scenario34",))
+        os.rename(mm / c1, mm / "ml_challenge_dev_multi_modal.csv")
+        c2 = make_fake_dataset_tree(str(ad) + "/", n_samples=2, seq_len=2)
+        os.rename(ad / c2, ad / "ml_challenge_data_adaptation_multi_modal.csv")
+        n34 = create_scenario_csv(
+            str(mm / "ml_challenge_dev_multi_modal.csv"),
+            str(mm / "scenario34"), "scenario34")
+        assert n34 == 25
+        logdir = str(tmp_path / "runF")
+        rc = cli.main([
+            "--data_root", str(root), "--logdir", logdir,
+            "--finetune", "1", "--train_adapt_together", "0",
+            "--epochs", "1", "--batch_size", "2",
+            "--seq_len", "2", "--augmentation", "0", "--scheduler", "0",
+            "--num_workers", "2", "--compute_dtype", "float32"])
+        assert rc == 0
+        # finetune keys checkpoints on TRAIN DBA into its own stream and
+        # skips validate/save (train2_seq.py:149-156)
+        assert os.path.exists(os.path.join(
+            logdir, "all_finetune_on_final_model.msgpack"))
+        assert not os.path.exists(os.path.join(logdir, "best_model.msgpack"))
