@@ -56,10 +56,14 @@ class BeamFuser(nn.Module):
         z = self._join(fused.astype(jnp.float32))
         if self.config.pred_len <= 1:
             return z
+        return self.decode_multistep(z)
 
-        # autoregressive multi-step decode (model2_seq_30to5.py:843-862):
-        # hidden initialized from join output, residual accumulation of the
-        # per-step delta into the running prediction x
+    def decode_multistep(self, z: jnp.ndarray) -> jnp.ndarray:
+        """Autoregressive multi-step decode (model2_seq_30to5.py:843-862):
+        GRU hidden state initialized from the join output ``z``, input is the
+        running prediction ``x`` (starts at zero), and each step's linear head
+        output is accumulated residually into ``x``.  (B, 64) -> (B, pred_len,
+        64)."""
         h = z
         x = jnp.zeros_like(z)
         outs = []

@@ -560,3 +560,61 @@ class TestMambaFuserOracle:
 
         assert got.shape == want.shape == (B, 64)
         np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+# -- 30to5 GRU multi-step decoder oracle --------------------------------------
+
+class TestMultiStepDecoderOracle:
+    def test_decode_matches_torch_grucell(self, rng):
+        """model2_seq_30to5.py:831-862: z = GRUCell(x, z); x += Linear(z),
+        stacked over pred_len.  Pins flax/torch GRU gate-convention parity
+        (r,z,n ordering, the n-gate's r-scaled hidden bias) and the residual
+        accumulation, isolated from the (already oracle-tested) encoder."""
+        cfg = GlobalConfig(seq_len=10, pred_len=5, use_pallas_scan=False,
+                           compute_dtype="float32")
+        model = BeamFuser(cfg)
+        B, H = 3, cfg.num_beams
+        z0 = rng.normal(size=(B, H)).astype(np.float32)
+
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(z0),
+                               method="decode_multistep")
+        # non-trivial weights everywhere (init biases are zero)
+        variables = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(rng.normal(
+                scale=0.5, size=np.shape(x)).astype(np.float32)), variables)
+        got = np.asarray(model.apply(variables, jnp.asarray(z0),
+                                     method="decode_multistep"))
+
+        d = variables["params"]["decoder"]
+        t = lambda a: torch.from_numpy(np.ascontiguousarray(np.asarray(a)))
+        gru = tnn.GRUCell(H, H)
+        with torch.no_grad():
+            gru.weight_ih.copy_(torch.cat(
+                [t(d[k]["kernel"]).T for k in ("ir", "iz", "in")], 0))
+            gru.weight_hh.copy_(torch.cat(
+                [t(d[k]["kernel"]).T for k in ("hr", "hz", "hn")], 0))
+            # flax folds the torch r/z hidden biases into ir/iz (it has
+            # none); only the n gate keeps a separate hidden bias
+            gru.bias_ih.copy_(torch.cat(
+                [t(d[k]["bias"]) for k in ("ir", "iz", "in")]))
+            gru.bias_hh.copy_(torch.cat(
+                [torch.zeros(H), torch.zeros(H), t(d["hn"]["bias"])]))
+        out = tnn.Linear(H, H)
+        with torch.no_grad():
+            out.weight.copy_(t(variables["params"]["output"]["kernel"]).T)
+            out.bias.copy_(t(variables["params"]["output"]["bias"]))
+
+        zt = torch.from_numpy(z0)
+        x = torch.zeros(B, H)
+        outs = []
+        with torch.no_grad():
+            for _ in range(cfg.pred_len):
+                zt = gru(x, zt)
+                x = x + out(zt)
+                outs.append(x)
+            want = torch.stack(outs, dim=1).numpy()
+
+        assert got.shape == want.shape == (B, cfg.pred_len, H)
+        # f32 accumulation noise over 5 recurrent steps at |x|~40 is ~7e-5;
+        # a gate-convention bug would be O(1)
+        np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
