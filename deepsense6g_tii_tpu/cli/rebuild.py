@@ -24,6 +24,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
     time_id = datetime.now().strftime("%Y%m%d_%H%M%S")
     p.add_argument("--id", type=str, default=time_id)
+    p.add_argument("--device", type=str, default="tpu",
+                   help="JAX platform; --device cpu runs on host CPU "
+                        "(reference flag, "
+                        "train_image_radar_lidar_rebuild.py:623)")
     p.add_argument("-s", "--source_domain", nargs="+", required=True)
     p.add_argument("-t", "--target_domain", nargs="+", required=True)
     p.add_argument("--data_root", type=str, default="./Dataset")
@@ -85,6 +89,8 @@ def main(argv=None) -> int:
     from ..rebuild.trainer import (RebuildOptions, RebuildTrainer)
 
     args = build_parser().parse_args(argv)
+    from .train import _apply_device_flag
+    _apply_device_flag(args.device)
     target = args.target_domain[0]
     logdir = args.logdir
     if logdir == "log":

@@ -149,8 +149,20 @@ def _geometry_overrides(args):
     return kw
 
 
+def _apply_device_flag(device: str) -> None:
+    """Honor --device (the reference's device selector, train2_seq.py:31):
+    here it picks the JAX platform.  "tpu" (the default) keeps whatever
+    backend the environment provides (the TPU plugin may register under a
+    vendor name), so only an explicit non-default like --device cpu acts —
+    useful for host-CPU smoke runs with the debug geometry knobs."""
+    if device and device != "tpu":
+        import jax
+        jax.config.update("jax_platforms", device)
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    _apply_device_flag(args.device)
     if args.multihost:
         from ..parallel.distributed import initialize, process_info
         initialize(require=True)     # explicit request: no silent no-op

@@ -25,8 +25,23 @@ class TestFlagSurface:
             "--Test", "0", "--modality_missing", "radar",
             "--modality_missing_type", "randlike", "--augmentation", "1",
             "--angle_norm", "1", "--custom_FoV_lidar", "1", "--add_seg", "0",
-            "--ema", "1", "--flip", "0"])
+            "--ema", "1", "--flip", "0", "--device", "cpu"])
         assert args.epochs == 150 and args.modality_missing == "radar"
+
+    def test_device_flag_selects_platform(self):
+        """--device cpu forces the CPU platform (reference train2_seq.py:31);
+        the default "tpu" leaves the environment's backend untouched (the
+        TPU plugin may register under a vendor name)."""
+        import jax
+        cli._apply_device_flag("tpu")       # no-op, must not raise
+        cli._apply_device_flag("cpu")
+        assert jax.default_backend() == "cpu"
+
+    def test_rebuild_parser_accepts_device(self):
+        from deepsense6g_tii_tpu.cli import rebuild as rcli
+        a = rcli.build_parser().parse_args(
+            ["-s", "lidar", "radar", "-t", "image", "--device", "cpu"])
+        assert a.device == "cpu"
 
     def test_logdir_mangling(self):
         p = cli.build_parser()
