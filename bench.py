@@ -31,10 +31,32 @@ from deepsense6g_tii_tpu.utils.synth import make_synth_batch
 BASELINE_SAMPLES_PER_SEC_PER_CHIP = 2.85
 
 
+def _device_init_watchdog(timeout_s: float):
+    """Backend init through the TPU tunnel either returns in seconds or
+    hangs indefinitely when the tunnel is wedged (observed: >1 h).  A hung
+    bench is worse than a failed one — fail loudly instead so the caller
+    records rc!=0 rather than blocking forever.  Returns a cancel()."""
+    import threading
+
+    def _abort():
+        import sys
+        print(f"bench: device init did not complete within {timeout_s:.0f}s "
+              "(TPU tunnel wedged?); aborting", file=sys.stderr, flush=True)
+        os._exit(3)
+
+    t = threading.Timer(timeout_s, _abort)
+    t.daemon = True
+    t.start()
+    return t.cancel
+
+
 def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
+    cancel = _device_init_watchdog(
+        float(os.environ.get("DEEPSENSE_BENCH_INIT_TIMEOUT", "600")))
     n_chips = len(jax.devices())
+    cancel()
     on_tpu = jax.default_backend() == "tpu"
     # per-chip batch 8 / no remat measured optimal on v5e (NOTES_NEXT_ROUND);
     # env knobs for A/B experiments only.
