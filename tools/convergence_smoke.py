@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--steps", type=int, default=40)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--opt_mu_dtype", default=None,
+                    choices=["bfloat16", "float32"],
+                    help="Adam first-moment dtype (A/B the bf16-mu config)")
     args = ap.parse_args()
 
     import jax
@@ -42,8 +45,11 @@ def main():
     from deepsense6g_tii_tpu.utils.synth import make_synth_batch
 
     on_tpu = jax.default_backend() == "tpu"
+    mu_dtype = (None if args.opt_mu_dtype in (None, "float32")
+                else args.opt_mu_dtype)
     cfg = GlobalConfig(use_pallas_scan=on_tpu,
-                       compute_dtype="bfloat16" if on_tpu else "float32")
+                       compute_dtype="bfloat16" if on_tpu else "float32",
+                       opt_mu_dtype=mu_dtype)
     rng = np.random.default_rng(0)
     B = args.batch
     idx = rng.integers(0, 64, B)
@@ -57,7 +63,7 @@ def main():
     v = jax.jit(lambda: model.init(
         jax.random.PRNGKey(0), batch["image"][:1], batch["lidar"][:1],
         batch["radar"][:1], batch["gps"][:1]))()
-    tx = make_optimizer()
+    tx = make_optimizer(mu_dtype=cfg.opt_mu_dtype)
     state = create_train_state(v, tx)
     step = S.make_train_step(model, cfg, tx, use_ema=True)
 
