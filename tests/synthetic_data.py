@@ -74,71 +74,10 @@ class TinyFuser(nn.Module):
         return logits
 
 
-def make_fake_dataset_tree(root, scenarios=("scenario31", "scenario32"),
-                           n_samples=4, seq_len=5, seed=0):
-    """Creates a DeepSense-layout tree + index CSV; returns the CSV name.
-
-    Layout per scenario (data2_seq.py:64-132, createdata_seq.py):
-      unit1/camera_data/<scenario>_<id>.jpg        (enhanced camera)
-      unit1/lidar_data/<id>.ply
-      unit1/radar_data_{ang,vel}/<id>.npy
-      unit2/GPS_data/<id>.txt ; unit1/GPS_data/gps_loc.txt
-    """
-    from PIL import Image
-    from deepsense6g_tii_tpu.utils import ply
-
-    rng = np.random.default_rng(seed)
-    rows = []
-    header = ["index"]
-    for t in range(1, seq_len + 1):
-        header += [f"unit1_rgb_{t}", f"unit1_lidar_{t}", f"unit1_radar_{t}"]
-    header += ["unit2_loc_1", "unit2_loc_2", "unit1_loc", "unit1_beam"]
-
-    for s in scenarios:
-        base = os.path.join(root, s, "unit1")
-        for sub in ("camera_data", "lidar_data", "radar_data_ang",
-                    "radar_data_vel"):
-            os.makedirs(os.path.join(base, sub), exist_ok=True)
-        os.makedirs(os.path.join(root, s, "unit2", "GPS_data"), exist_ok=True)
-        os.makedirs(os.path.join(base, "GPS_data"), exist_ok=True)
-
-        bs_path = f"./{s}/unit1/GPS_data/gps_loc.txt"
-        np.savetxt(os.path.join(root, bs_path[2:]),
-                   [33.42 + rng.normal(scale=1e-5), -111.93])
-
-        for i in range(n_samples):
-            row = [len(rows)]
-            for t in range(1, seq_len + 1):
-                fid = i * seq_len + t
-                cam = f"./{s}/unit1/camera_data/{s}_{fid}.jpg"
-                Image.fromarray(
-                    rng.integers(0, 255, (32, 48, 3), dtype=np.uint8),
-                    "RGB").save(os.path.join(root, cam[2:]))
-                lid = f"./{s}/unit1/lidar_data/{fid}.ply"
-                pts = rng.uniform(-40, 10, size=(200, 3))
-                ply.write_points(os.path.join(root, lid[2:]), pts)
-                rad = f"./{s}/unit1/radar_data/{fid}.npy"
-                for kind in ("ang", "vel"):
-                    np.save(os.path.join(
-                        root, s, "unit1", f"radar_data_{kind}", f"{fid}.npy"),
-                        rng.uniform(0, 1, (256, 256)).astype(np.float32))
-                row += [cam, lid, rad]
-            g1 = f"./{s}/unit2/GPS_data/{i}_1.txt"
-            g2 = f"./{s}/unit2/GPS_data/{i}_2.txt"
-            for g in (g1, g2):
-                np.savetxt(os.path.join(root, g[2:]),
-                           [33.42 + rng.normal(scale=1e-4),
-                            -111.93 + rng.normal(scale=1e-4)])
-            row += [g1, g2, bs_path, int(rng.integers(1, 65))]
-            rows.append(row)
-
-    csv_name = "fake_index.csv"
-    import csv as _csv
-    with open(os.path.join(root, csv_name), "w", newline="") as f:
-        w = _csv.writer(f)
-        w.writerow(header)
-        w.writerows(rows)
-    return csv_name
+# make_fake_dataset_tree moved to the package (it is user-facing demo
+# tooling, shared with examples/quickstart.py); re-exported for tests.
+from deepsense6g_tii_tpu.utils.demo_data import (  # noqa: E402,F401
+    make_demo_root, make_fake_dataset_tree)
 
 
 def jinit(model, *args, key=0, **kw):
