@@ -1,0 +1,87 @@
+"""Worker process for test_multiprocess.py: one rank of a 2-process
+jax.distributed CPU run (4 virtual devices each -> one global 8-device
+('data',) mesh), training the tiny fuser for a few steps through the REAL
+helpers (parallel.distributed.initialize, parallel.mesh process-aware
+sharding, train.steps.make_train_step).
+
+Prints one line per step: ``STEP <i> <loss>`` and finally
+``PSUM <param checksum>``.  Invoked as:
+    python mp_worker.py <process_id> <num_processes> <coordinator_port>
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_LOCAL_DEVICES = 4
+GLOBAL_BATCH = 16
+STEPS = 3
+
+
+def main():
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={N_LOCAL_DEVICES}")
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from deepsense6g_tii_tpu.parallel.distributed import (initialize,
+                                                          process_info)
+    assert initialize(coordinator_address=f"localhost:{port}",
+                      num_processes=nproc, process_id=pid)
+    info = process_info()
+    assert info["process_count"] == nproc, info
+    assert info["global_devices"] == nproc * N_LOCAL_DEVICES, info
+
+    import numpy as np
+
+    from deepsense6g_tii_tpu.config import GlobalConfig
+    from deepsense6g_tii_tpu.parallel.mesh import (make_mesh, replicate,
+                                                   shard_batch)
+    from deepsense6g_tii_tpu.train.state import (create_train_state,
+                                                 make_optimizer)
+    from deepsense6g_tii_tpu.train.steps import make_train_step
+    from synthetic_data import TinyFuser, jinit, make_batch
+
+    cfg = GlobalConfig(compute_dtype="float32", use_pallas_scan=False)
+    model = TinyFuser(cfg)
+    # identical global batch in every process; each rank feeds its slice
+    batch = make_batch(np.random.default_rng(0), B=GLOBAL_BATCH, T=2,
+                       H=32, W=32)
+    lo = pid * (GLOBAL_BATCH // nproc)
+    local = {k: v[lo:lo + GLOBAL_BATCH // nproc]
+             for k, v in batch.items()
+             if k in ("image", "lidar", "radar", "gps", "beam", "beamidx")}
+
+    mesh = make_mesh()
+    assert mesh.devices.size == nproc * N_LOCAL_DEVICES
+    variables = jinit(model, batch["image"][:1], batch["lidar"][:1],
+                      batch["radar"][:1], batch["gps"][:1])
+    tx = make_optimizer()
+    state = replicate(create_train_state(variables, tx), mesh)
+    step = make_train_step(model, cfg, tx, use_ema=True)
+
+    def scalar(x):
+        # replicated scalar of a cross-process global array: read the
+        # locally-addressable replica
+        return float(np.asarray(x.addressable_data(0)))
+
+    dev = shard_batch(local, mesh)
+    for i in range(STEPS):
+        state, m = step(state, dev, 1e-3)
+        print(f"STEP {i} {scalar(m['loss']):.8f}", flush=True)
+
+    # params are replicated: the locally-addressable replica is the value
+    # (device_get on a cross-process global array would need all shards)
+    checksum = float(sum(
+        np.abs(np.asarray(x.addressable_data(0))).sum()
+        for x in jax.tree_util.tree_leaves(state.params)))
+    print(f"PSUM {checksum:.6f}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
