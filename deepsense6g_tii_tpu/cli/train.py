@@ -194,7 +194,21 @@ def main(argv=None) -> int:
 
     model = BeamFuser(cfg)
     engine = Engine(model, cfg, opts)
-    ckpt.write_args(logdir, vars(args))
+
+    # multi-host: each process trains on its own equal-size dataset shard,
+    # feeding batch_size/process_count rows per step (batch_size stays the
+    # GLOBAL batch, like the reference's DataParallel split); validation and
+    # test run the full split identically on every process; the logdir is
+    # assumed shared (only process 0 writes it)
+    import jax
+    nproc = jax.process_count()
+    if nproc > 1 and args.batch_size % nproc:
+        raise SystemExit(f"--batch_size {args.batch_size} must be divisible "
+                         f"by the process count {nproc}")
+    local_bs = args.batch_size // nproc
+
+    if jax.process_index() == 0:
+        ckpt.write_args(logdir, vars(args))
 
     def maybe_import_torch_weights():
         if not args.load_torch_checkpoint:
@@ -216,6 +230,8 @@ def main(argv=None) -> int:
         test_set = BeamDataset(test_root, "ml_challenge_test_multi_modal.csv",
                                cfg, test=True)
         print("test_set:", len(test_set))
+        # test/val run the FULL split on every process (identical batches:
+        # exact metrics + row-ordered CSVs); only training shards the data
         loader = DataLoader(test_set, args.batch_size,
                             num_workers=args.num_workers)
         first = next(iter(DataLoader(test_set, 1)))
@@ -262,7 +278,10 @@ def main(argv=None) -> int:
         print("Val finish")
         return 0
 
-    train_loader = DataLoader(train_set, args.batch_size, shuffle=True,
+    if nproc > 1:
+        from ..data.dataset import shard_for_process
+        train_set = shard_for_process(train_set)
+    train_loader = DataLoader(train_set, local_bs, shuffle=True,
                               num_workers=args.num_workers)
     if engine.resume() and args.finetune:
         first = next(iter(DataLoader(train_set, 1)))

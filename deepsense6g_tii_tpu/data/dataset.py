@@ -257,6 +257,23 @@ class Subset:
         return self.dataset[int(self.indices[index])]
 
 
+def shard_for_process(dataset, process_index: Optional[int] = None,
+                      process_count: Optional[int] = None):
+    """Equal-size per-process shard for multi-host training: process p gets
+    rows p, p+nproc, p+2*nproc, ... truncated to a common length so every
+    process sees the SAME number of batches (the jitted sharded train step
+    is a collective program — unequal per-process batch counts would
+    deadlock a multi-host run).  TPU-native addition; the reference is
+    single-process (train2_seq.py:538)."""
+    import jax
+    pid = jax.process_index() if process_index is None else process_index
+    nproc = jax.process_count() if process_count is None else process_count
+    if nproc == 1:
+        return dataset
+    per = len(dataset) // nproc
+    return Subset(dataset, pid + np.arange(per) * nproc)
+
+
 def random_split(dataset, lengths: Sequence[int], seed: int = 100):
     """torch random_split equivalent (deterministic permutation)."""
     if sum(lengths) != len(dataset):

@@ -35,7 +35,7 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def _multiprocess(mesh: Mesh) -> bool:
+def spans_processes(mesh: Mesh) -> bool:
     """True when the mesh spans devices of more than one process (multi-host
     DCN run): host arrays are then per-process *local* data and must be
     assembled into global arrays rather than device_put as global values."""
@@ -58,7 +58,7 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     the multi-host equivalent of every host's DataLoader feeding its own
     shard (all processes must pass equally-sized local batches)."""
     sh = batch_sharding(mesh, axis_name)
-    local = _multiprocess(mesh)
+    local = spans_processes(mesh)
     return jax.tree_util.tree_map(lambda x: _put(x, sh, local), batch)
 
 
@@ -69,7 +69,7 @@ def shard_stacked_batch(batch, mesh: Mesh, axis_name: str = "data"):
     lax.scan consumes one leading-axis slice per optimizer step.  Multi-
     process: the batch dim is per-process local, as in shard_batch."""
     sh = NamedSharding(mesh, P(None, axis_name))
-    local = _multiprocess(mesh)
+    local = spans_processes(mesh)
     return jax.tree_util.tree_map(lambda x: _put(x, sh, local), batch)
 
 
@@ -79,7 +79,7 @@ def replicate(tree, mesh: Mesh):
     model/optimizer state); the replicated global array is assembled from
     the per-process copies."""
     sh = replicated(mesh)
-    local = _multiprocess(mesh)
+    local = spans_processes(mesh)
     return jax.tree_util.tree_map(lambda x: _put(x, sh, local), tree)
 
 

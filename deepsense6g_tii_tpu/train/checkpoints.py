@@ -217,3 +217,18 @@ class ScalarLogger:
         self._f.close()
         if self._tb is not None:
             self._tb.close()
+
+
+class NullLogger:
+    """No-op ScalarLogger stand-in for non-lead processes in multi-host
+    runs (every process computes identical metrics; only process 0 writes
+    the shared logdir)."""
+
+    def scalar(self, tag, value, step) -> None:
+        pass
+
+    def scalars(self, tag, values, step) -> None:
+        pass
+
+    def close(self) -> None:
+        pass

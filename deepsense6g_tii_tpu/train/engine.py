@@ -25,7 +25,8 @@ import numpy as np
 
 from ..config import SCENARIOS, GlobalConfig
 from ..parallel.mesh import (make_mesh, pad_to_multiple, replicate,
-                             shard_batch, shard_stacked_batch)
+                             shard_batch, shard_stacked_batch,
+                             spans_processes)
 from . import checkpoints as ckpt
 from .metrics import compute_acc, compute_dba_score, flatten_multistep
 from .profiling import StepTimer
@@ -74,7 +75,20 @@ class Engine:
         self.cfg = cfg
         self.opts = opts
         self.mesh = mesh or make_mesh()
-        self.logger = ckpt.ScalarLogger(opts.logdir)
+        # multi-host: every process runs the identical engine loop over its
+        # own data shard; metrics are all-gathered so decisions (best model,
+        # rollback) agree everywhere, and only the lead process writes the
+        # (shared) logdir.  See shard_for_process / parallel/distributed.py.
+        self._mp = spans_processes(self.mesh)
+        self._lead = jax.process_index() == 0
+        if self._mp:
+            procs = [d.process_index for d in self.mesh.devices.flat]
+            if procs != sorted(procs):
+                raise ValueError(
+                    "multi-host mesh devices must be grouped by process "
+                    "(metric gathering assumes contiguous per-process rows)")
+        self.logger = (ckpt.ScalarLogger(opts.logdir) if self._lead
+                       else ckpt.NullLogger())
 
         self.cur_epoch = 0
         self.cur_iter = 0
@@ -152,6 +166,61 @@ class Engine:
             dev["valid"] = np.concatenate(
                 [np.ones(n, np.float32), np.zeros(pad, np.float32)])
         return shard_batch(dev, self.mesh), n
+
+    # -- multi-host metric gathering ------------------------------------------
+
+    def _ranks_rows(self, x, n: int, k: Optional[int] = None,
+                    gather: bool = True) -> np.ndarray:
+        """Batch-sharded device metric -> host rows of the valid (unpadded)
+        samples.  Single-process: a plain readback.  Multi-process: this
+        process's local block (its n valid rows), then (training, where each
+        process feeds a different data shard) an all-gather so every process
+        sees the identical global rows in process order — matching
+        ``_gather_host`` of the corresponding host-side fields.  Eval/test
+        loaders feed IDENTICAL batches on every process instead, so their
+        local block already is the full data: ``gather=False``."""
+        if not self._mp:
+            r = np.asarray(x)
+            return (r[k] if k is not None else r)[:n]
+        nproc = jax.process_count()
+        if x.sharding.is_fully_replicated:
+            g = np.asarray(x.addressable_data(0))
+            if k is not None:
+                g = g[k]
+            per = g.shape[0] // nproc
+            if not gather:
+                pid = jax.process_index()
+                return g[pid * per:pid * per + n]
+            return np.concatenate([g[p * per:p * per + n]
+                                   for p in range(nproc)], 0)
+        # batch-sharded: this process's rows, deduped (a shard may be
+        # replicated across local devices) and ordered by global offset.
+        # k selects a step of a stacked (K, B, ...) multi-step metric,
+        # whose batch dim is axis 1.
+        dim = 0 if k is None else 1
+        seen: Dict[int, np.ndarray] = {}
+        for s in x.addressable_shards:
+            if (s.index[dim].start or 0) in seen:
+                continue
+            d = np.asarray(s.data)
+            seen[s.index[dim].start or 0] = d[k] if k is not None else d
+        local = np.concatenate([seen[i] for i in sorted(seen)], 0)[:n]
+        return self._gather_host(local) if gather else local
+
+    def _gather_host(self, x: np.ndarray) -> np.ndarray:
+        """Per-process host rows -> global rows (process order).  All
+        processes must pass equal shapes.  No-op single-process."""
+        if not self._mp:
+            return x
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+    def _barrier(self, tag: str) -> None:
+        """Cross-process sync point (multi-host read-after-write on the
+        shared logdir); no-op single-process."""
+        if self._mp:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(tag)
 
     def _prefetched(self, gen_fn):
         """Runs ``gen_fn()`` on a background thread with a bounded
@@ -285,13 +354,13 @@ class Engine:
                 # stacked metrics: loss (K,), ranks (K, B, beams)
                 losses.append(m["loss"])
                 for k in range(len(batches)):
-                    pred_all.append((m["ranks"][k], n))
+                    pred_all.append((m["ranks"], k, n))
             else:
                 self.state, m = self.train_step(self.state, dev, lr)
                 # keep metrics as device arrays — a host readback here would
                 # serialize every step on the transfer link
                 losses.append(m["loss"])
-                pred_all.append((m["ranks"], n))
+                pred_all.append((m["ranks"], None, n))
             for b in batches:
                 gt_all.append(np.asarray(b["beamidx"]))
             self.timer.tick(len(batches))
@@ -300,7 +369,8 @@ class Engine:
         loss_epoch = float(np.concatenate(
             [np.atleast_1d(np.asarray(l)) for l in losses]).mean()) \
             if losses else 0.0
-        pred_all = [np.asarray(r)[:n] for r, n in pred_all]
+        pred_all = [self._ranks_rows(r, n, k) for r, k, n in pred_all]
+        gt_all = [self._gather_host(g) for g in gt_all]
         epoch_dt = time.perf_counter() - epoch_t0       # includes final sync
         if num_batches and batch_size:
             self.logger.scalar("perf/samples_per_sec",
@@ -347,8 +417,9 @@ class Engine:
             num_batches += 1
         loss_epoch = float(np.mean([np.asarray(l) for l in losses])) \
             if losses else 0.0
-        pred_all = [np.asarray(r)[:n] for r, n in pred_all]
-
+        # eval loaders feed identical batches on every process (multi-host):
+        # the local block is the full data, host fields stay as-is
+        pred_all = [self._ranks_rows(r, n, gather=False) for r, n in pred_all]
         pred_all = np.concatenate(pred_all, 0)
         gt_all = np.concatenate(gt_all, 0)
         scen_all = np.concatenate(scen_all, 0)
@@ -389,15 +460,17 @@ class Engine:
             if self.state is None:
                 self.init_state(batch)
             m = self.test_step(self.state, dev, i)
-            pred_all.append(np.asarray(m["ranks"])[:n])
-            conf_all.append(np.asarray(m["confidence"])[:n])
+            pred_all.append(self._ranks_rows(m["ranks"], n, gather=False))
+            conf_all.append(self._ranks_rows(m["confidence"], n,
+                                             gather=False))
         pred_all = np.concatenate(pred_all, 0)
         conf_all = np.concatenate(conf_all, 0)
-        save_pred_to_csv(pred_all,
-                         target_csv=os.path.join(out_dir, "beam_pred.csv"))
-        save_confidence_to_csv(
-            conf_all,
-            target_csv=os.path.join(out_dir, "beam_pred_confidence_seq.csv"))
+        if self._lead:
+            save_pred_to_csv(
+                pred_all, target_csv=os.path.join(out_dir, "beam_pred.csv"))
+            save_confidence_to_csv(
+                conf_all, target_csv=os.path.join(
+                    out_dir, "beam_pred_confidence_seq.csv"))
         return pred_all
 
     # -- checkpoint policy ---------------------------------------------------
@@ -413,28 +486,36 @@ class Engine:
 
         state = self.state
         aw = self.opts.async_save
-        if aw:
-            ckpt.flush()    # land the previous epoch's writes (bounds the
-                            # queue to one epoch of checkpoints in flight)
-        ckpt.save_model(self.opts.logdir, "final_model",
-                        state.params, state.batch_stats, async_write=aw)
-        ckpt.write_run_record(self.opts.logdir, {
-            "epoch": self.cur_epoch,
-            "iter": self.cur_iter,
-            "bestval": self.bestval,
-            "bestval_epoch": self.bestval_epoch,
-            "train_loss": self.train_loss,
-            "val_loss": self.val_loss,
-            "DBA": self.DBA,
-        }, async_write=aw)
-        if save_best:
-            ckpt.save_model(self.opts.logdir, "best_model",
+        # multi-host: metrics (and so save_best/bestval) are identical on
+        # every process; only the lead writes the shared logdir
+        if self._lead:
+            if aw:
+                ckpt.flush()    # land the previous epoch's writes (bounds
+                                # the queue to one epoch of ckpts in flight)
+            ckpt.save_model(self.opts.logdir, "final_model",
                             state.params, state.batch_stats, async_write=aw)
-            ckpt.save_optim(self.opts.logdir, "best_optim",
-                            state.opt_state, state.ema_params, async_write=aw)
-            print("====== Overwrote best model ======>")
-        elif self.opts.load_previous_best:
-            ckpt.flush()            # read-after-write: land pending saves
+            ckpt.write_run_record(self.opts.logdir, {
+                "epoch": self.cur_epoch,
+                "iter": self.cur_iter,
+                "bestval": self.bestval,
+                "bestval_epoch": self.bestval_epoch,
+                "train_loss": self.train_loss,
+                "val_loss": self.val_loss,
+                "DBA": self.DBA,
+            }, async_write=aw)
+            if save_best:
+                ckpt.save_model(self.opts.logdir, "best_model",
+                                state.params, state.batch_stats,
+                                async_write=aw)
+                ckpt.save_optim(self.opts.logdir, "best_optim",
+                                state.opt_state, state.ema_params,
+                                async_write=aw)
+                print("====== Overwrote best model ======>")
+        if not save_best and self.opts.load_previous_best:
+            if self._lead:
+                ckpt.flush()        # read-after-write: land pending saves
+            self._barrier("rollback")   # best_model visible on the shared
+                                        # logdir before non-lead reads
             params, stats = ckpt.load_model(
                 self.opts.logdir, "best_model", state.params, state.batch_stats)
             opt_state, _ = ckpt.load_optim(
@@ -452,6 +533,8 @@ class Engine:
     def _save_finetune(self) -> None:
         """all_finetune_on_final_* stream keyed on train DBA
         (train2_seq.py:149-156)."""
+        if not self._lead:
+            return
         ckpt.save_model(self.opts.logdir, "all_finetune_on_final_model",
                         self.state.params, self.state.batch_stats,
                         async_write=self.opts.async_save)
@@ -479,12 +562,14 @@ class Engine:
         if self.state is None:
             raise RuntimeError("init_state first (needs shapes)")
         ckpt.flush()                # land any pending async writes
+        self._barrier("load_weights")   # multi-host: lead's writes landed
         params, stats = ckpt.load_model(
             logdir or self.opts.logdir, name, self.state.params,
             self.state.batch_stats)
-        self.state = self.state.replace(
+        self.state = replicate(self.state.replace(
             params=params, batch_stats=stats,
-            ema_params=jax.tree_util.tree_map(lambda x: x, params))
+            ema_params=jax.tree_util.tree_map(lambda x: x, params)),
+            self.mesh)
 
 
 def save_pred_to_csv(y_pred: np.ndarray, top_k=(1, 2, 3),

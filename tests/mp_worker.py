@@ -22,6 +22,7 @@ STEPS = 3
 
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "step"
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={N_LOCAL_DEVICES}")
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -35,6 +36,9 @@ def main():
     info = process_info()
     assert info["process_count"] == nproc, info
     assert info["global_devices"] == nproc * N_LOCAL_DEVICES, info
+
+    if mode == "engine":
+        return engine_mode(sys.argv[5])
 
     import numpy as np
 
@@ -80,6 +84,43 @@ def main():
         np.abs(np.asarray(x.addressable_data(0))).sum()
         for x in jax.tree_util.tree_leaves(state.params)))
     print(f"PSUM {checksum:.6f}", flush=True)
+    return 0
+
+
+def engine_mode(logdir: str) -> int:
+    """Full Engine loop on the 2-process mesh: sharded training data,
+    identical validation/test data, lead-only artifact writes in a shared
+    logdir.  Prints per-epoch ``EPOCH <e> TRAIN <dba> VAL <dba>`` lines
+    (must be identical across ranks)."""
+    import numpy as np
+
+    from deepsense6g_tii_tpu.config import GlobalConfig
+    from deepsense6g_tii_tpu.data.dataset import shard_for_process
+    from deepsense6g_tii_tpu.data.loader import DataLoader
+    from deepsense6g_tii_tpu.train import checkpoints as ckpt
+    from deepsense6g_tii_tpu.train.engine import Engine, TrainOptions
+    from synthetic_data import TinyFuser, make_batch
+
+    cfg = GlobalConfig(compute_dtype="float32", use_pallas_scan=False)
+    batch = make_batch(np.random.default_rng(0), B=22, T=2, H=32, W=32)
+    samples = [{k: batch[k][i] for k in batch} for i in range(22)]
+    train_set = shard_for_process(samples)          # 11 rows per rank
+    val_set = samples[:8]                           # identical on all ranks
+
+    opts = TrainOptions(logdir=logdir, epochs=2, scheduler=False, ema=True,
+                        lr=1e-3)
+    engine = Engine(TinyFuser(cfg), cfg, opts)
+    train_loader = DataLoader(train_set, 4, shuffle=True, num_workers=2)
+    val_loader = DataLoader(val_set, 4, num_workers=2)
+    for _ in range(2):
+        tr = engine.train(train_loader)
+        va = engine.validate(val_loader)
+        engine.save()
+        print(f"EPOCH {engine.cur_epoch} TRAIN {tr:.8f} VAL {va:.8f}",
+              flush=True)
+    engine.test(val_loader, out_dir=logdir)
+    ckpt.flush()
+    print(f"BESTVAL {engine.bestval:.8f}", flush=True)
     return 0
 
 

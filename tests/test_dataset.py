@@ -183,3 +183,18 @@ class TestCache:
         cds = CachedDataset(build_cache(ds, str(tmp_path / "cache3")))
         batch = next(iter(DataLoader(cds, batch_size=4)))
         assert batch["image"].shape == (4, 5, 256, 256, 3)
+
+
+class TestShardForProcess:
+    def test_equal_disjoint_truncated(self):
+        from deepsense6g_tii_tpu.data.dataset import shard_for_process
+        ds = list(range(10))
+        shards = [shard_for_process(ds, p, 3) for p in range(3)]
+        assert all(len(s) == 3 for s in shards)     # truncated to 9 rows
+        seen = sorted(s[i] for s in shards for i in range(3))
+        assert len(set(seen)) == 9                  # disjoint coverage
+
+    def test_single_process_identity(self):
+        from deepsense6g_tii_tpu.data.dataset import shard_for_process
+        ds = list(range(5))
+        assert shard_for_process(ds, 0, 1) is ds

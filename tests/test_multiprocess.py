@@ -27,7 +27,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_workers(nproc: int, timeout: float = 600.0):
+def _run_workers(nproc: int, timeout: float = 600.0, extra_args=()):
     """Launches nproc mp_worker.py ranks; returns their stdouts."""
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
@@ -35,7 +35,7 @@ def _run_workers(nproc: int, timeout: float = 600.0):
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(HERE, "mp_worker.py"),
-             str(pid), str(nproc), str(port)],
+             str(pid), str(nproc), str(port), *extra_args],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env)
         for pid in range(nproc)
@@ -105,3 +105,31 @@ def test_two_process_training_matches_single_process():
     # identical math, f32 rounding only
     np.testing.assert_allclose(losses0, ref_losses, rtol=1e-5)
     assert abs(psum0 - ref_psum) / ref_psum < 1e-5
+
+
+def test_two_process_engine_loop(tmp_path):
+    """The full Engine (train epochs with a sharded dataset, validation and
+    test on identical data, checkpoint policy) across two processes sharing
+    one logdir: metrics identical on both ranks, artifacts written exactly
+    once (lead rank), test CSV row-complete."""
+    logdir = str(tmp_path / "mplog")
+    outs = _run_workers(2, extra_args=("engine", logdir))
+
+    def lines(out, tag):
+        return [ln for ln in out.splitlines() if ln.startswith(tag)]
+
+    e0, e1 = lines(outs[0], "EPOCH"), lines(outs[1], "EPOCH")
+    assert len(e0) == 2
+    assert e0 == e1, f"rank metric divergence:\n{e0}\n{e1}"
+    assert lines(outs[0], "BESTVAL") == lines(outs[1], "BESTVAL")
+
+    import json
+    rec = json.load(open(os.path.join(logdir, "recent.log")))
+    assert rec["epoch"] == 2
+    assert len(rec["DBA"]) == 2
+    for f in ("final_model.msgpack", "best_model.msgpack", "scalars.jsonl"):
+        assert os.path.exists(os.path.join(logdir, f)), f
+
+    # test CSV: full 8 validation rows, written once by the lead rank
+    pred = open(os.path.join(logdir, "beam_pred.csv")).read().strip()
+    assert len(pred.split("\n")) == 1 + 8
