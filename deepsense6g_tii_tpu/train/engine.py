@@ -89,6 +89,12 @@ class Engine:
                     "(metric gathering assumes contiguous per-process rows)")
         self.logger = (ckpt.ScalarLogger(opts.logdir) if self._lead
                        else ckpt.NullLogger())
+        # batch-shape granularity: per-process batches need only be a
+        # multiple of the LOCAL device count (the global batch is their
+        # process-order concatenation)
+        self._n_shard = (sum(d.process_index == jax.process_index()
+                             for d in self.mesh.devices.flat)
+                         if self._mp else self.mesh.devices.size)
 
         self.cur_epoch = 0
         self.cur_iter = 0
@@ -157,8 +163,7 @@ class Engine:
         Returns (device_batch, n_valid)."""
         dev = {k: v for k, v in batch.items() if k in DEVICE_KEYS}
         n = next(iter(dev.values())).shape[0]
-        n_dev = self.mesh.devices.size
-        pad = pad_to_multiple(n, n_dev)
+        pad = pad_to_multiple(n, self._n_shard)
         if pad:
             dev = {k: np.concatenate(
                 [np.asarray(v)] + [np.asarray(v[-1:])] * pad, axis=0)
@@ -293,7 +298,7 @@ class Engine:
         groups of opts.steps_per_dispatch equal, unpadded batches, and
         ('single', [host_batch], dev, n) for ragged/odd ones."""
         K = self.opts.steps_per_dispatch
-        n_dev = self.mesh.devices.size
+        n_dev = self._n_shard
         buf: List = []
         nominal = None
 

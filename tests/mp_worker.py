@@ -107,8 +107,10 @@ def engine_mode(logdir: str) -> int:
     train_set = shard_for_process(samples)          # 11 rows per rank
     val_set = samples[:8]                           # identical on all ranks
 
+    # steps_per_dispatch=2 also exercises the stacked multi-step dispatch
+    # (shard_stacked_batch + per-k metric extraction) across processes
     opts = TrainOptions(logdir=logdir, epochs=2, scheduler=False, ema=True,
-                        lr=1e-3)
+                        lr=1e-3, steps_per_dispatch=2)
     engine = Engine(TinyFuser(cfg), cfg, opts)
     train_loader = DataLoader(train_set, 4, shuffle=True, num_workers=2)
     val_loader = DataLoader(val_set, 4, num_workers=2)
