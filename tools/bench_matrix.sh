@@ -1,0 +1,23 @@
+#!/bin/bash
+# Pending-TPU-measurement matrix (NOTES_NEXT_ROUND.md): run when the axon
+# tunnel is up.  ONE TPU process at a time (two wedge the tunnel).
+# Usage: bash tools/bench_matrix.sh
+set -u
+cd "$(dirname "$0")/.."
+
+run() {
+    echo "=== $* ==="
+    env "$@" timeout 3600 python bench.py
+    echo
+}
+
+# 1. clean default re-check (last good: 52.9 samples/s/chip)
+run DEEPSENSE_BENCH_B=8 DEEPSENSE_BENCH_K=8
+
+# 2. the pending A/B: B=16 no-remat + bf16 Adam mu (frees ~207 MB; r1 B=16
+#    no-remat OOMed by 175 MB).  If it beats the default, flip engine/bench
+#    defaults after a convergence smoke.
+run DEEPSENSE_BENCH_B=16 DEEPSENSE_BENCH_K=8 DEEPSENSE_BENCH_MU_DTYPE=bfloat16
+
+# 3. convergence smoke for the bf16-mu config (only needed if 2 wins)
+timeout 3600 python tools/convergence_smoke.py --opt_mu_dtype bfloat16
