@@ -168,6 +168,13 @@ def main(argv=None) -> int:
         initialize(require=True)     # explicit request: no silent no-op
         print("distributed:", process_info())
     logdir = mangle_logdir(args)
+    if args.multihost:
+        # the default --id is a per-process timestamp: processes starting in
+        # different seconds would compute different logdirs, breaking the
+        # shared-logdir contract (rank-0 writes, everyone reads) — pin to
+        # process 0's
+        from ..parallel.distributed import broadcast_str
+        logdir = broadcast_str(logdir)
     os.makedirs(logdir, exist_ok=True)
 
     from ..config import GlobalConfig
@@ -202,10 +209,6 @@ def main(argv=None) -> int:
     # assumed shared (only process 0 writes it)
     import jax
     nproc = jax.process_count()
-    if nproc > 1 and args.batch_size % nproc:
-        raise SystemExit(f"--batch_size {args.batch_size} must be divisible "
-                         f"by the process count {nproc}")
-    local_bs = args.batch_size // nproc
 
     if jax.process_index() == 0:
         ckpt.write_args(logdir, vars(args))
@@ -213,16 +216,17 @@ def main(argv=None) -> int:
     def maybe_import_torch_weights():
         if not args.load_torch_checkpoint:
             return
-        import jax
         from ..models.checkpoint_import import load_reference_checkpoint
+        from ..parallel.mesh import replicate
         params, stats, unused = load_reference_checkpoint(
             args.load_torch_checkpoint, cfg)
         if unused:
             print(f"======WARNING: {len(unused)} unused torch keys, e.g. "
                   f"{sorted(unused)[:3]}")
-        engine.state = engine.state.replace(
+        engine.state = replicate(engine.state.replace(
             params=params, batch_stats=stats,
-            ema_params=jax.tree_util.tree_map(lambda x: x, params))
+            ema_params=jax.tree_util.tree_map(lambda x: x, params)),
+            engine.mesh)
         print("======imported torch checkpoint", args.load_torch_checkpoint)
 
     if args.Test:
@@ -257,11 +261,22 @@ def main(argv=None) -> int:
 
     if args.cache_dir:
         from ..data.cache import CachedDataset, build_cache
-        train_set = CachedDataset(
-            build_cache(train_set, os.path.join(args.cache_dir, "train")))
+
+        def cached(ds, sub):
+            d = os.path.join(args.cache_dir, sub)
+            if nproc > 1:
+                # shared cache dir: only rank 0 featurizes (concurrent
+                # builders would race on the memmaps); per-host local disks
+                # build after the barrier via the idempotent manifest check
+                if jax.process_index() == 0:
+                    build_cache(ds, d)
+                from ..parallel.distributed import barrier
+                barrier("cache-" + sub)
+            return CachedDataset(build_cache(ds, d))
+
+        train_set = cached(train_set, "train")
         if val_set is not None:
-            val_set = CachedDataset(
-                build_cache(val_set, os.path.join(args.cache_dir, "val")))
+            val_set = cached(val_set, "val")
 
     val_loader = (DataLoader(val_set, args.batch_size,
                              num_workers=args.num_workers)
@@ -278,7 +293,16 @@ def main(argv=None) -> int:
         print("Val finish")
         return 0
 
+    local_bs = args.batch_size
     if nproc > 1:
+        # training splits the GLOBAL --batch_size across processes (the
+        # reference's DataParallel split); Test/Val above are exempt (they
+        # feed the full batch identically everywhere)
+        if args.batch_size % nproc:
+            raise SystemExit(
+                f"--batch_size {args.batch_size} must be divisible by the "
+                f"process count {nproc}")
+        local_bs = args.batch_size // nproc
         from ..data.dataset import shard_for_process
         train_set = shard_for_process(train_set)
     train_loader = DataLoader(train_set, local_bs, shuffle=True,

@@ -271,6 +271,10 @@ def shard_for_process(dataset, process_index: Optional[int] = None,
     if nproc == 1:
         return dataset
     per = len(dataset) // nproc
+    if per == 0:
+        raise ValueError(
+            f"dataset of {len(dataset)} samples cannot be sharded over "
+            f"{nproc} processes (every process needs at least one sample)")
     return Subset(dataset, pid + np.arange(per) * nproc)
 
 

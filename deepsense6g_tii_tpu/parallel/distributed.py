@@ -70,6 +70,28 @@ def initialize(coordinator_address: Optional[str] = None,
     return True
 
 
+def barrier(tag: str) -> None:
+    """Cross-process sync point; no-op in single-process runs."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(tag)
+
+
+def broadcast_str(s: str, max_len: int = 1024) -> str:
+    """Process 0's string wins on every process (no-op single-process).
+    Used to pin run-scoped paths (e.g. a timestamped logdir) that each
+    process would otherwise derive independently."""
+    if jax.process_count() == 1:
+        return s
+    import numpy as np
+    from jax.experimental import multihost_utils
+    buf = np.zeros(max_len, np.uint8)
+    b = s.encode()[:max_len]
+    buf[:len(b)] = np.frombuffer(b, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return bytes(out).rstrip(b"\x00").decode()
+
+
 def process_info() -> dict:
     """Process/device topology of the current runtime (for logging)."""
     return {

@@ -184,33 +184,32 @@ class Engine:
         ``_gather_host`` of the corresponding host-side fields.  Eval/test
         loaders feed IDENTICAL batches on every process instead, so their
         local block already is the full data: ``gather=False``."""
+        block = self._local_block(x, stacked=k is not None)
+        local = (block[k] if k is not None else block)[:n]
+        return self._gather_host(local) if gather and self._mp else local
+
+    def _local_block(self, x, stacked: bool = False) -> np.ndarray:
+        """Full host copy of this process's block of a device metric
+        (padding and, for stacked multi-step metrics, all K steps included).
+        Single-process: a plain readback of the whole array.  ``stacked``:
+        the batch dim is axis 1 (a (K, B, ...) lax.scan output)."""
         if not self._mp:
-            r = np.asarray(x)
-            return (r[k] if k is not None else r)[:n]
-        nproc = jax.process_count()
+            return np.asarray(x)
+        bdim = 1 if stacked else 0
         if x.sharding.is_fully_replicated:
             g = np.asarray(x.addressable_data(0))
-            if k is not None:
-                g = g[k]
-            per = g.shape[0] // nproc
-            if not gather:
-                pid = jax.process_index()
-                return g[pid * per:pid * per + n]
-            return np.concatenate([g[p * per:p * per + n]
-                                   for p in range(nproc)], 0)
+            per = g.shape[bdim] // jax.process_count()
+            sl = [slice(None)] * g.ndim
+            pid = jax.process_index()
+            sl[bdim] = slice(pid * per, (pid + 1) * per)
+            return g[tuple(sl)]
         # batch-sharded: this process's rows, deduped (a shard may be
-        # replicated across local devices) and ordered by global offset.
-        # k selects a step of a stacked (K, B, ...) multi-step metric,
-        # whose batch dim is axis 1.
-        dim = 0 if k is None else 1
+        # replicated across local devices) and ordered by global offset
         seen: Dict[int, np.ndarray] = {}
         for s in x.addressable_shards:
-            if (s.index[dim].start or 0) in seen:
-                continue
-            d = np.asarray(s.data)
-            seen[s.index[dim].start or 0] = d[k] if k is not None else d
-        local = np.concatenate([seen[i] for i in sorted(seen)], 0)[:n]
-        return self._gather_host(local) if gather else local
+            if (s.index[bdim].start or 0) not in seen:
+                seen[s.index[bdim].start or 0] = np.asarray(s.data)
+        return np.concatenate([seen[i] for i in sorted(seen)], bdim)
 
     def _gather_host(self, x: np.ndarray) -> np.ndarray:
         """Per-process host rows -> global rows (process order).  All
@@ -374,12 +373,26 @@ class Engine:
         loss_epoch = float(np.concatenate(
             [np.atleast_1d(np.asarray(l)) for l in losses]).mean()) \
             if losses else 0.0
-        pred_all = [self._ranks_rows(r, n, k) for r, k, n in pred_all]
-        gt_all = [self._gather_host(g) for g in gt_all]
+        # one device->host read per unique metric array (a K-step dispatch
+        # contributes K entries pointing at the same stacked array), then
+        # ONE all-gather each for preds/gts (multi-host) — row pairing is
+        # preserved because every process concatenates in the same order
+        blocks: Dict[int, np.ndarray] = {}
+
+        def rows(r, k, n):
+            b = blocks.get(id(r))
+            if b is None:
+                b = blocks[id(r)] = self._local_block(r,
+                                                      stacked=k is not None)
+            return (b[k] if k is not None else b)[:n]
+
+        pred_all = [rows(r, k, n) for r, k, n in pred_all]
         epoch_dt = time.perf_counter() - epoch_t0       # includes final sync
         if num_batches and batch_size:
+            # batch_size is per-process: scale to the true global throughput
+            global_bs = batch_size * (jax.process_count() if self._mp else 1)
             self.logger.scalar("perf/samples_per_sec",
-                               num_batches * batch_size / epoch_dt,
+                               num_batches * global_bs / epoch_dt,
                                self.cur_epoch + 1)
             self.logger.scalar("perf/step_ms_mean",
                                epoch_dt / num_batches * 1e3,
@@ -387,8 +400,8 @@ class Engine:
         for tag, v in self.timer.stats(batch_size).items():
             self.logger.scalar(f"perf/dispatch_{tag}", v, self.cur_epoch + 1)
 
-        pred_all = np.concatenate(pred_all, 0)
-        gt_all = np.concatenate(gt_all, 0)
+        pred_all = self._gather_host(np.concatenate(pred_all, 0))
+        gt_all = self._gather_host(np.concatenate(gt_all, 0))
         if pred_all.ndim == 3:
             pred_all, gt_all = flatten_multistep(pred_all, gt_all)
         acc = compute_acc(pred_all, gt_all)

@@ -198,3 +198,8 @@ class TestShardForProcess:
         from deepsense6g_tii_tpu.data.dataset import shard_for_process
         ds = list(range(5))
         assert shard_for_process(ds, 0, 1) is ds
+
+    def test_too_many_processes_raises(self):
+        from deepsense6g_tii_tpu.data.dataset import shard_for_process
+        with pytest.raises(ValueError, match="sharded over"):
+            shard_for_process(list(range(3)), 0, 4)
