@@ -39,6 +39,8 @@ def main():
 
     if mode == "engine":
         return engine_mode(sys.argv[5])
+    if mode == "cli":
+        return cli_mode(sys.argv[5], sys.argv[6])
 
     import numpy as np
 
@@ -124,6 +126,24 @@ def engine_mode(logdir: str) -> int:
     ckpt.flush()
     print(f"BESTVAL {engine.bestval:.8f}", flush=True)
     return 0
+
+
+def cli_mode(data_root: str, logdir: str) -> int:
+    """The real training CLI under --multihost: logdir broadcast, shared
+    feature-cache build gating, per-process train-set shard + local batch
+    size, lead-rank artifact writes.  jax.distributed is already initialized
+    (main), so cli's initialize(require=True) is an idempotent no-op."""
+    import deepsense6g_tii_tpu.models.fuser as fuser_mod
+    from synthetic_data import TinyFuser
+    fuser_mod.BeamFuser = TinyFuser       # tiny model, real everything else
+
+    from deepsense6g_tii_tpu.cli import train as cli
+    return cli.main([
+        "--data_root", data_root, "--logdir", logdir,
+        "--multihost", "1", "--epochs", "1", "--batch_size", "8",
+        "--seq_len", "2", "--augmentation", "0", "--scheduler", "0",
+        "--num_workers", "2", "--compute_dtype", "float32",
+        "--cache_dir", logdir + "_cache"])
 
 
 if __name__ == "__main__":

@@ -133,3 +133,27 @@ def test_two_process_engine_loop(tmp_path):
     # test CSV: full 8 validation rows, written once by the lead rank
     pred = open(os.path.join(logdir, "beam_pred.csv")).read().strip()
     assert len(pred.split("\n")) == 1 + 8
+
+
+def test_two_process_cli_multihost(tmp_path):
+    """python -m ...cli.train --multihost 1 across two real processes:
+    logdir broadcast, rank-gated shared cache build, per-process train
+    shard with the split --batch_size, artifacts written by rank 0."""
+    from synthetic_data import make_demo_root
+    root = str(tmp_path / "dsroot")
+    os.makedirs(root)
+    make_demo_root(root, n_train=3, n_adapt=2, n_test=2, seq_len=2)
+    logdir = str(tmp_path / "mh")
+
+    outs = _run_workers(2, extra_args=("cli", root, logdir))
+    rank0, rank1 = outs
+    assert "train_set:" in rank0 and "train_set:" in rank1
+
+    import json
+    rec = json.load(open(os.path.join(logdir, "recent.log")))
+    assert rec["epoch"] == 1
+    assert os.path.exists(os.path.join(logdir, "final_model.msgpack"))
+    assert os.path.exists(os.path.join(logdir, "args.txt"))
+    # the shared cache was built exactly once and served both ranks
+    assert os.path.exists(os.path.join(
+        logdir + "_cache", "train", "manifest.json"))
