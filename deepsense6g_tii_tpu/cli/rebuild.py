@@ -128,7 +128,11 @@ def main(argv=None) -> int:
         alpha_trans=args.alpha_trans, alpha_contrast=args.alpha_contrast,
         alpha_distance=args.alpha_distance, alpha_fusion=args.alpha_fusion,
         temp=args.temp, lr=args.lr)
-    trainer = RebuildTrainer(model, cfg, opts)
+    # data-parallel over all local chips (the reference rebuild-trains under
+    # DataParallel, train_image_radar_lidar_rebuild.py:721-728)
+    from ..parallel.mesh import make_mesh, replicate
+    mesh = make_mesh()
+    trainer = RebuildTrainer(model, cfg, opts, mesh=mesh)
 
     first = next(iter(DataLoader(train_set, 1)))
     import jax.numpy as jnp
@@ -152,9 +156,7 @@ def main(argv=None) -> int:
     bestval, best_epoch = 0.0, 0
     train_losses, val_losses, dbas = [], [], []
 
-    def to_dev(batch):
-        return {k: jnp.asarray(v) for k, v in batch.items()
-                if k != "scenario"}
+    to_dev = trainer.shard
 
     def run_validation():
         preds, gts, scens, losses = [], [], [], []
@@ -180,7 +182,8 @@ def main(argv=None) -> int:
         # eval-only: rebuilt-feature injection with loaded heads
         # (train_image_radar_lidar_rebuild.py:730-736, args.Val branch)
         if args.load_model_dir:
-            state = load_rebuild_state(args.load_model_dir, state, best=True)
+            state = replicate(load_rebuild_state(
+                args.load_model_dir, state, best=True), mesh)
         dba, _ = run_validation()
         print("Val DBA:", dba)
         print("Val finish")
@@ -223,7 +226,8 @@ def main(argv=None) -> int:
         if save_best:
             print("====== Overwrote best model ======>")
         elif args.load_previous_best:
-            state = load_rebuild_state(logdir, state, best=True)
+            state = replicate(load_rebuild_state(logdir, state, best=True),
+                              mesh)
             print("====== Load the previous best model ======>")
     return 0
 

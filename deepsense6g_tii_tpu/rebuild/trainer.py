@@ -143,9 +143,17 @@ def _set_heads_lr(opt_state, lr):
 
 
 class RebuildTrainer:
-    """Owns the heads + a fusion model; provides jitted train/rebuild/eval."""
+    """Owns the heads + a fusion model; provides jitted train/rebuild/eval.
 
-    def __init__(self, fusion_model, cfg: GlobalConfig, opts: RebuildOptions):
+    ``mesh``: a ('data',) device mesh enables data-parallel rebuild training
+    (the reference trains this subsystem under 8 DataParallel module groups,
+    train_image_radar_lidar_rebuild.py:721-728): the state replicates, each
+    batch shards over the mesh via :meth:`shard`, and GSPMD partitions the
+    jitted steps (incl. the batch-coupled NT-Xent similarity matrix).
+    Default ``None`` keeps single-device placement."""
+
+    def __init__(self, fusion_model, cfg: GlobalConfig, opts: RebuildOptions,
+                 mesh=None):
         if cfg.modality_missing != opts.target_domain:
             raise ValueError(
                 "config.modality_missing must equal the rebuild target "
@@ -155,10 +163,28 @@ class RebuildTrainer:
         self.heads = RebuildHeads()
         self.cfg = cfg
         self.opts = opts
+        self.mesh = mesh
         self.tx = make_rebuild_optimizer(opts)
         self.train_step = self._build_train_step()
         self.rebuild_features = self._build_eval_rebuild()
         self.eval_step = self._build_eval_step()
+
+    # -- device placement ------------------------------------------------------
+
+    def shard(self, batch: Dict) -> Dict:
+        """Host batch -> device batch.  With a mesh, batch-sharded when the
+        row count divides the device count, replicated otherwise (rebuild
+        losses are batch-coupled — NT-Xent over all pairs — so ragged
+        batches are not padded/masked like the main engine's)."""
+        arrs = {k: np.asarray(v) for k, v in batch.items()
+                if k != "scenario"}
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in arrs.items()}
+        from ..parallel.mesh import replicate, shard_batch
+        n = next(iter(arrs.values())).shape[0]
+        if n % self.mesh.devices.size == 0:
+            return shard_batch(arrs, self.mesh)
+        return replicate(arrs, self.mesh)
 
     # -- state ---------------------------------------------------------------
 
@@ -169,7 +195,7 @@ class RebuildTrainer:
                              self.opts.source_domain)
         opt_params = {"heads": hv["params"],
                       "fusion": fusion_variables["params"]}
-        return RebuildState(
+        state = RebuildState(
             head_params=hv["params"],
             head_stats=hv.get("batch_stats", {}),
             fusion_params=fusion_variables["params"],
@@ -179,6 +205,10 @@ class RebuildTrainer:
                 fusion_variables.get("batch_stats", {})),
             opt_state=self.tx.init(opt_params),
             step=jnp.zeros((), jnp.int32))
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate
+            state = replicate(state, self.mesh)
+        return state
 
     # -- internals -----------------------------------------------------------
 

@@ -235,3 +235,56 @@ class TestRebuildCliEndToEnd:
         for f in ("final_fusion_model.msgpack", "best_fusion_model.msgpack",
                   "best_optim.msgpack"):
             assert os.path.exists(os.path.join(logdir, f)), f
+
+
+class TestRebuildDataParallel:
+    def test_sharded_trajectory_matches_single_device(self):
+        """RebuildTrainer(mesh=...) shards batches over the 8-device mesh
+        (the reference rebuild-trains under DataParallel,
+        train_image_radar_lidar_rebuild.py:721-728); the training trajectory
+        and eval rankings must match single-device execution."""
+        from deepsense6g_tii_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(7)
+        model = BeamFuser(CFG)
+        batch = make_batch(rng, B=8, T=2, H=64, W=64)
+        host = {k: v for k, v in batch.items() if k != "scenario"}
+        dev = {k: jnp.asarray(v) for k, v in host.items()}
+        variables = jinit(model, dev["image"][:1], dev["lidar"][:1],
+                          dev["radar"][:1], dev["gps"][:1])
+        opts = RebuildOptions(source_domain=("lidar", "radar"),
+                              target_domain="image")
+
+        single = RebuildTrainer(model, CFG, opts)
+        sharded = RebuildTrainer(model, CFG, opts, mesh=make_mesh())
+        s1 = single.init_state(variables, single.shard(host))
+        s2 = sharded.init_state(variables, sharded.shard(host))
+
+        for _ in range(2):
+            s1, a1 = single.train_step(s1, single.shard(host), 1e-4)
+            s2, a2 = sharded.train_step(s2, sharded.shard(host), 1e-4)
+            np.testing.assert_allclose(float(a1["loss"]), float(a2["loss"]),
+                                       rtol=2e-5)
+        m1 = single.eval_step(s1, single.shard(host), 0)
+        m2 = sharded.eval_step(s2, sharded.shard(host), 0)
+        assert (np.asarray(m1["ranks"])[:, 0]
+                == np.asarray(m2["ranks"])[:, 0]).all()
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=2e-5)
+
+    def test_ragged_batch_falls_back_to_replicated(self):
+        from deepsense6g_tii_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(8)
+        model = BeamFuser(CFG)
+        batch = make_batch(rng, B=3, T=2, H=64, W=64)   # 3 % 8 != 0
+        host = {k: v for k, v in batch.items() if k != "scenario"}
+        opts = RebuildOptions(source_domain=("lidar", "radar"),
+                              target_domain="image")
+        trainer = RebuildTrainer(model, CFG, opts, mesh=make_mesh())
+        dev = trainer.shard(host)
+        variables = jinit(model, dev["image"][:1], dev["lidar"][:1],
+                          dev["radar"][:1], dev["gps"][:1])
+        state = trainer.init_state(variables, dev)
+        state, aux = trainer.train_step(state, dev, 1e-4)
+        assert np.isfinite(float(aux["loss"]))
