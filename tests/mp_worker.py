@@ -28,6 +28,12 @@ def main():
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     jax.config.update("jax_platforms", "cpu")
+    # share the suite's persistent compile cache (conftest.py sets it at the
+    # config level, which subprocesses don't inherit)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("DEEPSENSE_TEST_CACHE",
+                                     "/tmp/jax_cache_tests"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from deepsense6g_tii_tpu.parallel.distributed import (initialize,
                                                           process_info)
