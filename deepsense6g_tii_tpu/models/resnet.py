@@ -21,6 +21,10 @@ import jax.numpy as jnp
 from ..ops.pooling import max_pool_3x3s2
 
 BN_MOMENTUM = 0.9   # torch momentum 0.1 == flax momentum 0.9
+# Known (accepted) deviation: torch folds the UNBIASED batch variance
+# (N/(N-1)) into running_var while flax uses the biased one — a ~1/N
+# relative drift per update (N = B*T*H*W >= ~160k here, i.e. <1e-5).
+# Inference parity is exact: imported running stats are used as-is.
 BN_EPS = 1e-5
 
 
