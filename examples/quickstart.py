@@ -27,6 +27,7 @@ def main(argv=None) -> int:
     ap.add_argument("--workdir", default="./quickstart_out")
     ap.add_argument("--device", default="cpu",
                     help="cpu (default, works anywhere) or tpu")
+    ap.add_argument("--epochs", type=int, default=2)
     args = ap.parse_args(argv)
 
     if args.device == "cpu":
@@ -59,8 +60,8 @@ def main(argv=None) -> int:
         "--backbone_blocks", "1,1,1,1",
     ]
 
-    print("==> training 2 epochs")
-    rc = cli.main(common + ["--epochs", "2", "--ema", "1"])
+    print(f"==> training {args.epochs} epoch(s)")
+    rc = cli.main(common + ["--epochs", str(args.epochs), "--ema", "1"])
     if rc:
         return rc
 

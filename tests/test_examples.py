@@ -15,7 +15,7 @@ def test_quickstart_end_to_end(tmp_path):
     spec.loader.exec_module(qs)
 
     workdir = str(tmp_path / "qs")
-    assert qs.main(["--workdir", workdir]) == 0
+    assert qs.main(["--workdir", workdir, "--epochs", "1"]) == 0
 
     logdir = os.path.join(workdir, "log", "quickstart")
     for f in ("final_model.msgpack", "best_model.msgpack", "recent.log",
