@@ -75,7 +75,13 @@ def main():
                        opt_mu_dtype=os.environ.get("DEEPSENSE_BENCH_MU_DTYPE")
                        or None,
                        FFM=0 if arch == "gpt" else 1,
-                       TFM=0 if arch == "gpt" else 1)
+                       TFM=0 if arch == "gpt" else 1,
+                       # flash attention for the GPT fusion stack; off via
+                       # DEEPSENSE_BENCH_FLASH=0 for the einsum-path A/B
+                       use_flash_attention=(
+                           on_tpu and arch == "gpt"
+                           and os.environ.get("DEEPSENSE_BENCH_FLASH",
+                                              "1") != "0"))
     model = BeamFuser(cfg)
     batch = make_synth_batch(cfg, B)
 

@@ -86,6 +86,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backbone_blocks", type=str, default=None,
                    help="comma-separated per-stage block counts, "
                         "e.g. 1,1,1,1 (default: reference ResNet depths)")
+    p.add_argument("--flash_attention", type=int, default=None,
+                   help="Pallas flash attention for GPT fusion blocks "
+                        "(--FFM 0); default: on when running on TPU")
     p.add_argument("--multihost", type=int, default=0,
                    help="jax.distributed.initialize() for multi-host DCN "
                         "training; same code, bigger ('data',) mesh")
@@ -109,8 +112,14 @@ def mangle_logdir(args) -> str:
 
 
 def config_from_args(args):
+    import jax
+
     from ..config import GlobalConfig
+    flash = getattr(args, "flash_attention", None)
+    if flash is None:       # auto: kernel on TPU, einsum path elsewhere
+        flash = jax.default_backend() == "tpu"
     return GlobalConfig(
+        use_flash_attention=bool(flash),
         seq_len=args.seq_len,
         pred_len=args.pred_len,
         data_root=args.data_root,

@@ -71,6 +71,10 @@ class GlobalConfig:
     param_dtype: str = "float32"     # parameter dtype
     compute_dtype: str = "bfloat16"  # activation/matmul dtype on the MXU
     use_pallas_scan: bool = True     # Pallas selective-scan vs associative_scan ref
+    # Pallas flash attention for the GPT fusion blocks (streaming softmax,
+    # never materializes the 962x962 attention matrix; in-kernel prob
+    # dropout) vs the einsum reference path — ops/flash_attention.py
+    use_flash_attention: bool = False
     # rematerialization policy: "none" | "fusion" (checkpoint the token-
     # fusion stages incl. scans) | "conv" (checkpoint the ResNet stages,
     # keep the scan activations stored — cheaper recompute per HBM saved)

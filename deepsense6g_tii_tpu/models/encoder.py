@@ -93,6 +93,7 @@ class FusionEncoder(nn.Module):
                 block_exp=cfg.block_exp,
                 attn_pdrop=cfg.attn_pdrop,
                 resid_pdrop=cfg.resid_pdrop,
+                use_flash=cfg.use_flash_attention,
                 d_state=cfg.d_state,
                 d_conv=cfg.d_conv,
                 expand=cfg.expand,

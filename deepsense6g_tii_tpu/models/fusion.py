@@ -25,18 +25,28 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.flash_attention import flash_mha
 from ..ops.mamba import Mamba
 
 _DENSE_INIT = nn.initializers.normal(stddev=0.02)  # GPT _init_weights
 
 
 class SelfAttention(nn.Module):
-    """Unmasked multi-head self-attention (model2_seq.py:74-110)."""
+    """Unmasked multi-head self-attention (model2_seq.py:74-110).
+
+    ``use_flash``: run the Pallas flash-attention kernel
+    (ops/flash_attention.py) instead of materializing the (B, heads, T, T)
+    attention matrix.  Same math; attention-prob dropout is drawn in-kernel
+    from a counter-based hash PRNG instead of the flax stream, so trained
+    trajectories differ from the einsum path in the same way any two dropout
+    RNGs do.
+    """
 
     n_embd: int
     n_head: int
     attn_pdrop: float
     resid_pdrop: float
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -48,10 +58,16 @@ class SelfAttention(nn.Module):
         q = dense("query")(x).reshape(B, T, self.n_head, hs).transpose(0, 2, 1, 3)
         k = dense("key")(x).reshape(B, T, self.n_head, hs).transpose(0, 2, 1, 3)
         v = dense("value")(x).reshape(B, T, self.n_head, hs).transpose(0, 2, 1, 3)
-        att = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (hs ** -0.5)
-        att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(x.dtype)
-        att = nn.Dropout(self.attn_pdrop)(att, deterministic=deterministic)
-        y = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+        if self.use_flash:
+            drop = 0.0 if deterministic else self.attn_pdrop
+            rng = self.make_rng("dropout") if drop > 0.0 else None
+            y = flash_mha(q, k, v, sm_scale=hs ** -0.5, dropout_p=drop,
+                          rng=rng)
+        else:
+            att = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (hs ** -0.5)
+            att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(x.dtype)
+            att = nn.Dropout(self.attn_pdrop)(att, deterministic=deterministic)
+            y = jnp.einsum("bhqk,bhkd->bhqd", att, v)
         y = y.transpose(0, 2, 1, 3).reshape(B, T, C)
         y = dense("proj")(y)
         return nn.Dropout(self.resid_pdrop)(y, deterministic=deterministic)
@@ -65,13 +81,14 @@ class GPTBlock(nn.Module):
     block_exp: int
     attn_pdrop: float
     resid_pdrop: float
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         x = x + SelfAttention(self.n_embd, self.n_head, self.attn_pdrop,
-                              self.resid_pdrop, dtype=self.dtype,
-                              name="attn")(
+                              self.resid_pdrop, use_flash=self.use_flash,
+                              dtype=self.dtype, name="attn")(
             nn.LayerNorm(name="ln1")(x), deterministic)
         h = nn.LayerNorm(name="ln2")(x)
         h = nn.Dense(self.block_exp * self.n_embd, kernel_init=_DENSE_INIT,
@@ -153,6 +170,7 @@ class TokenFusion(nn.Module):
     block_exp: int = 4
     attn_pdrop: float = 0.1
     resid_pdrop: float = 0.1
+    use_flash: bool = False
     # mamba params
     d_state: int = 16
     d_conv: int = 4
@@ -199,7 +217,8 @@ class TokenFusion(nn.Module):
             for i in range(self.n_layer):
                 x = GPTBlock(self.n_embd, self.n_head, self.block_exp,
                              self.attn_pdrop, self.resid_pdrop,
-                             dtype=self.dtype, name=f"block{i}")(
+                             use_flash=self.use_flash, dtype=self.dtype,
+                             name=f"block{i}")(
                     x, deterministic)
         elif self.fusion_type == "mamba":
             for i in range(self.n_layer):

@@ -1,0 +1,371 @@
+"""Flash multi-head attention for TPU (Pallas), with in-kernel dropout.
+
+The reference's GPT fusion stack (/root/reference/model2_seq.py:74-110) runs
+unmasked self-attention over the fused 962-token sequence and materializes the
+(B, heads, 962, 962) attention matrix in f32 *including* an attention-prob
+dropout (attn_pdrop=0.1) during training.  At the model's sizes that matrix is
+pure HBM traffic (~118 MB per block fwd at B=8) while the matmuls are tiny —
+the classic flash-attention regime.
+
+This kernel computes softmax(q kᵀ·scale) v with the standard running-max /
+running-sum streaming reduction (O(T·D) HBM traffic, never materializing the
+T×T matrix) and a fused backward that recomputes the probability blocks.
+
+Attention-prob dropout cannot be applied outside a flash kernel (it acts on
+the normalized probabilities), so it is drawn *inside* from a counter-based
+hash PRNG: every (row, col) element's keep decision is a pure function of
+(global position, seed), so the backward regenerates bit-identical masks with
+zero residual storage, and the same function evaluated in plain jnp
+(:func:`dropout_scale_reference`) gives tests an exact oracle.  Following the
+flash-attention dropout algebra, the mask (scaled by 1/(1-p)) applies to the
+un-normalized exp terms of the accumulator while the softmax denominator
+accumulates the *undropped* sums — elementwise mask and the final row
+division commute.
+
+Layout: q, k, v are (B, heads, T, head_dim).  T is padded to a multiple of
+the 128-wide blocks; the padded key columns are masked to -1e30 in-kernel
+(because Tp - T < block, every key block keeps at least one valid column, so
+the running max never sees an all-masked block) and padded query rows are
+garbage that the wrapper slices off.  Gradients for padded dO rows are zero
+by construction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLK = 128            # q/k block edge (also the dropout-bit tile: fwd and bwd
+                     # must derive identical global coordinates)
+_NEG_INF = -1e30
+
+
+# ---------------------------------------------------------------------------
+# counter-based dropout hash (shared by kernels and the jnp test oracle)
+# ---------------------------------------------------------------------------
+
+def _uniform_hash(ids: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
+    """murmur3-fmix32 of (element id ^ seed) -> uniform f32 in [0, 1)."""
+    x = ids.astype(jnp.uint32) ^ seed.astype(jnp.uint32)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return (x >> 8).astype(jnp.float32) * (2.0 ** -24)
+
+
+def _keep_scale_block(seed, bh, jq, jk, t_pad, dropout_p):
+    """(BLK, BLK) dropout scale {0, 1/(1-p)} for block (bh, jq, jk).
+
+    Element id = (bh·Tp + row)·Tp + col — position-global, so forward and
+    both backward kernels regenerate identical bits from grid coordinates.
+    """
+    r = jq * BLK + jax.lax.broadcasted_iota(jnp.uint32, (BLK, BLK), 0)
+    c = jk * BLK + jax.lax.broadcasted_iota(jnp.uint32, (BLK, BLK), 1)
+    ids = (bh.astype(jnp.uint32) * t_pad + r) * t_pad + c
+    u = _uniform_hash(ids, seed)
+    keep = (u >= dropout_p).astype(jnp.float32)
+    return keep * (1.0 / (1.0 - dropout_p))
+
+
+def dropout_scale_reference(seed, n_bh: int, t: int, dropout_p: float):
+    """Exact jnp replica of the in-kernel dropout mask, (n_bh, t, t).
+
+    ``seed`` is the int32 scalar passed to :func:`flash_mha` internals (see
+    :func:`derive_seed`).  Test oracle only — materializes the full matrix.
+    """
+    t_pad = -(-t // BLK) * BLK
+    bh = jnp.arange(n_bh, dtype=jnp.uint32)[:, None, None]
+    r = jnp.arange(t, dtype=jnp.uint32)[None, :, None]
+    c = jnp.arange(t, dtype=jnp.uint32)[None, None, :]
+    ids = (bh * t_pad + r) * t_pad + c
+    u = _uniform_hash(ids, jnp.asarray(seed))
+    return (u >= dropout_p).astype(jnp.float32) / (1.0 - dropout_p)
+
+
+def derive_seed(rng) -> jnp.ndarray:
+    """PRNGKey -> (1,) int32 kernel seed (uniform bits, wrap-converted)."""
+    return jax.lax.bitcast_convert_type(
+        jax.random.bits(rng, (1,), jnp.uint32), jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr, *, sm_scale, dropout_p, vlen, t_pad):
+    jk = pl.program_id(2)
+
+    @pl.when(jk == 0)
+    def _():
+        m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]                                           # (BLK, D)
+    k = k_ref[0]                                           # (BLK, D)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * sm_scale
+    if vlen % BLK:
+        col = jk * BLK + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < vlen, s, _NEG_INF)
+
+    m_prev = jnp.max(m_scr[...], axis=1, keepdims=True)    # (BLK, 1)
+    l_prev = jnp.max(l_scr[...], axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)                                 # (BLK, BLK) f32
+    l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    if dropout_p > 0.0:
+        p = p * _keep_scale_block(seed_ref[0], pl.program_id(0),
+                                  pl.program_id(1), jk, t_pad, dropout_p)
+    pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0],
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    acc = acc_scr[...] * alpha + pv
+    acc_scr[...] = acc
+    m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(jk == pl.num_programs(2) - 1)
+    def _():
+        o_ref[0] = (acc / l_new).astype(o_ref.dtype)
+        lse_ref[0] = (m_new + jnp.log(l_new))[:, 0]
+
+
+def _mha_fwd_pallas(q, k, v, seed, sm_scale, dropout_p, vlen, interpret):
+    bh, t_pad, d = q.shape
+    nblk = t_pad // BLK
+    grid = (bh, nblk, nblk)
+    kernel = functools.partial(_fwd_kernel, sm_scale=sm_scale,
+                               dropout_p=dropout_p, vlen=vlen, t_pad=t_pad)
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                  # seed
+            pl.BlockSpec((1, BLK, d), lambda i, j, kk: (i, j, 0)),  # q
+            pl.BlockSpec((1, BLK, d), lambda i, j, kk: (i, kk, 0)),  # k
+            pl.BlockSpec((1, BLK, d), lambda i, j, kk: (i, kk, 0)),  # v
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BLK, d), lambda i, j, kk: (i, j, 0)),  # o
+            pl.BlockSpec((1, BLK), lambda i, j, kk: (i, j)),        # lse
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, t_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, t_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BLK, 128), jnp.float32),   # running max (lane-repl)
+            pltpu.VMEM((BLK, 128), jnp.float32),   # running sum
+            pltpu.VMEM((BLK, d), jnp.float32),     # output accumulator
+        ],
+        interpret=interpret,
+    )(seed, q, k, v)
+    return o, lse
+
+
+# ---------------------------------------------------------------------------
+# backward kernels (recompute probability blocks from q, k, lse)
+# ---------------------------------------------------------------------------
+
+def _p_block(q, k, lse_rows, jk, *, sm_scale, vlen):
+    """Recomputed probability block P = exp(s·scale − lse) with col mask."""
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * sm_scale
+    if vlen % BLK:
+        col = jk * BLK + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < vlen, s, _NEG_INF)
+    return jnp.exp(s - lse_rows[:, None])
+
+
+def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref,
+               dq_ref, dq_scr, *, sm_scale, dropout_p, vlen, t_pad):
+    jk = pl.program_id(2)
+
+    @pl.when(jk == 0)
+    def _():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    p = _p_block(q, k, lse_ref[0], jk, sm_scale=sm_scale, vlen=vlen)
+    dpd = jax.lax.dot_general(do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    if dropout_p > 0.0:
+        dpd = dpd * _keep_scale_block(seed_ref[0], pl.program_id(0),
+                                      pl.program_id(1), jk, t_pad, dropout_p)
+    ds = p * (dpd - dvec_ref[0][:, None]) * sm_scale
+    dq_scr[...] = dq_scr[...] + jax.lax.dot_general(
+        ds.astype(q.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(jk == pl.num_programs(2) - 1)
+    def _():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref,
+                dk_ref, dv_ref, dk_scr, dv_scr,
+                *, sm_scale, dropout_p, vlen, t_pad):
+    jq = pl.program_id(2)
+    jk = pl.program_id(1)
+
+    @pl.when(jq == 0)
+    def _():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    do = do_ref[0]
+    p = _p_block(q, k, lse_ref[0], jk, sm_scale=sm_scale, vlen=vlen)
+    dpd = jax.lax.dot_general(do, v_ref[0], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    if dropout_p > 0.0:
+        scale = _keep_scale_block(seed_ref[0], pl.program_id(0), jq, jk,
+                                  t_pad, dropout_p)
+        pd = p * scale
+        dpd = dpd * scale
+    else:
+        pd = p
+    dv_scr[...] = dv_scr[...] + jax.lax.dot_general(
+        pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = p * (dpd - dvec_ref[0][:, None]) * sm_scale
+    dk_scr[...] = dk_scr[...] + jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(jq == pl.num_programs(2) - 1)
+    def _():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _mha_bwd_pallas(q, k, v, o, lse, seed, do,
+                    sm_scale, dropout_p, vlen, interpret):
+    bh, t_pad, d = q.shape
+    nblk = t_pad // BLK
+    dvec = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+
+    common = dict(sm_scale=sm_scale, dropout_p=dropout_p, vlen=vlen,
+                  t_pad=t_pad)
+    row_spec = lambda sel: pl.BlockSpec((1, BLK, d), sel)
+    vec_spec = lambda sel: pl.BlockSpec((1, BLK), sel)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, **common),
+        grid=(bh, nblk, nblk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                   # seed
+            row_spec(lambda i, j, kk: (i, j, 0)),                    # q
+            row_spec(lambda i, j, kk: (i, kk, 0)),                   # k
+            row_spec(lambda i, j, kk: (i, kk, 0)),                   # v
+            row_spec(lambda i, j, kk: (i, j, 0)),                    # do
+            vec_spec(lambda i, j, kk: (i, j)),                       # lse
+            vec_spec(lambda i, j, kk: (i, j)),                       # dvec
+        ],
+        out_specs=row_spec(lambda i, j, kk: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, t_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((BLK, d), jnp.float32)],
+        interpret=interpret,
+    )(seed, q, k, v, do, lse, dvec)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, **common),
+        grid=(bh, nblk, nblk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                   # seed
+            row_spec(lambda i, kk, j: (i, j, 0)),                    # q
+            row_spec(lambda i, kk, j: (i, kk, 0)),                   # k
+            row_spec(lambda i, kk, j: (i, kk, 0)),                   # v
+            row_spec(lambda i, kk, j: (i, j, 0)),                    # do
+            vec_spec(lambda i, kk, j: (i, j)),                       # lse
+            vec_spec(lambda i, kk, j: (i, j)),                       # dvec
+        ],
+        out_specs=[
+            row_spec(lambda i, kk, j: (i, kk, 0)),                   # dk
+            row_spec(lambda i, kk, j: (i, kk, 0)),                   # dv
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, t_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, t_pad, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BLK, d), jnp.float32),
+            pltpu.VMEM((BLK, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seed, q, k, v, do, lse, dvec)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom-vjp core + public wrapper
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _mha_core(q, k, v, seed, sm_scale, dropout_p, vlen, interpret):
+    o, _ = _mha_fwd_pallas(q, k, v, seed, sm_scale, dropout_p, vlen,
+                           interpret)
+    return o
+
+
+def _mha_fwd_rule(q, k, v, seed, sm_scale, dropout_p, vlen, interpret):
+    o, lse = _mha_fwd_pallas(q, k, v, seed, sm_scale, dropout_p, vlen,
+                             interpret)
+    return o, (q, k, v, o, lse, seed)
+
+
+def _mha_bwd_rule(sm_scale, dropout_p, vlen, interpret, res, do):
+    q, k, v, o, lse, seed = res
+    dq, dk, dv = _mha_bwd_pallas(q, k, v, o, lse, seed, do,
+                                 sm_scale, dropout_p, vlen, interpret)
+    return dq, dk, dv, np.zeros((1,), dtype=jax.dtypes.float0)
+
+
+_mha_core.defvjp(_mha_fwd_rule, _mha_bwd_rule)
+
+
+def flash_mha(q, k, v, *, sm_scale=None, dropout_p: float = 0.0, rng=None,
+              interpret=None):
+    """Flash attention: softmax(q kᵀ · sm_scale) v, optional prob dropout.
+
+    q, k, v: (B, heads, T, head_dim); any T (padded internally to 128s).
+    ``dropout_p`` > 0 requires ``rng`` (a PRNGKey) and applies iid dropout to
+    the normalized attention probabilities — torch ``nn.Dropout`` on the
+    attention matrix semantics (model2_seq.py:94-99) from a counter-based
+    hash PRNG (not the torch RNG stream).
+    ``interpret=None`` auto-selects interpreter mode off-TPU (CPU tests).
+    """
+    b, h, t, d = q.shape
+    if sm_scale is None:
+        sm_scale = float(d) ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    t_pad = -(-t // BLK) * BLK
+    pad = t_pad - t
+
+    def prep(x):
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        return x.reshape(b * h, t_pad, d)
+
+    if dropout_p > 0.0:
+        if rng is None:
+            raise ValueError("flash_mha: dropout_p > 0 requires rng")
+        seed = derive_seed(rng)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+    o = _mha_core(prep(q), prep(k), prep(v), seed, float(sm_scale),
+                  float(dropout_p), t, bool(interpret))
+    return o.reshape(b, h, t_pad, d)[:, :, :t]

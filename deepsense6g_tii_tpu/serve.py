@@ -158,7 +158,7 @@ def main(argv=None) -> int:
     a = p.parse_args(argv)
     on_tpu = jax.default_backend() == "tpu"
     cfg = GlobalConfig(FFM=a.FFM, TFM=a.TFM, add_velocity=a.add_velocity,
-                       use_pallas_scan=on_tpu,
+                       use_pallas_scan=on_tpu, use_flash_attention=on_tpu,
                        compute_dtype="bfloat16" if on_tpu else "float32")
     if a.checkpoint.endswith(".pth"):
         pred = Predictor.from_torch(a.checkpoint, cfg)

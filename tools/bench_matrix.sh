@@ -19,5 +19,13 @@ run DEEPSENSE_BENCH_B=8 DEEPSENSE_BENCH_K=8
 #    defaults after a convergence smoke.
 run DEEPSENSE_BENCH_B=16 DEEPSENSE_BENCH_K=8 DEEPSENSE_BENCH_MU_DTYPE=bfloat16
 
-# 3. convergence smoke for the bf16-mu config (only needed if 2 wins)
+# 3. GPT TransFuser with the flash-attention kernel vs the einsum path
+#    (r2 einsum number: 52.2 samples/s/chip at B=8 K=8)
+run DEEPSENSE_BENCH_ARCH=gpt DEEPSENSE_BENCH_B=8 DEEPSENSE_BENCH_K=8
+run DEEPSENSE_BENCH_ARCH=gpt DEEPSENSE_BENCH_FLASH=0 DEEPSENSE_BENCH_B=8 DEEPSENSE_BENCH_K=8
+
+# 4. flash frees the 962^2 attention residuals -> retry a bigger GPT batch
+run DEEPSENSE_BENCH_ARCH=gpt DEEPSENSE_BENCH_B=16 DEEPSENSE_BENCH_K=8
+
+# 5. convergence smoke for the bf16-mu config (only needed if 2 wins)
 timeout 3600 python tools/convergence_smoke.py --opt_mu_dtype bfloat16
