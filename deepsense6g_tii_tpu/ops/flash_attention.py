@@ -23,11 +23,13 @@ accumulates the *undropped* sums — elementwise mask and the final row
 division commute.
 
 Layout: q, k, v are (B, heads, T, head_dim).  T is padded to a multiple of
-the 128-wide blocks; the padded key columns are masked to -1e30 in-kernel
-(because Tp - T < block, every key block keeps at least one valid column, so
-the running max never sees an all-masked block) and padded query rows are
-garbage that the wrapper slices off.  Gradients for padded dO rows are zero
-by construction.
+``block`` (default 512 — at the model's BH=32, T≈1k, D=128 sizes this keeps
+the sequential grid at 128 steps per layer call instead of 2048 with 128-wide
+tiles, where per-step grid overhead would dominate the tiny matmuls).  Padded
+key columns are masked to -1e30 *and* their probabilities zeroed in-kernel
+(so even an all-padded key block is inert), and padded query rows are garbage
+that the wrapper slices off.  Gradients for padded dO rows are zero by
+construction.
 """
 
 from __future__ import annotations
@@ -40,8 +42,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLK = 128            # q/k block edge (also the dropout-bit tile: fwd and bwd
-                     # must derive identical global coordinates)
+DEFAULT_BLOCK = 512  # q/k tile edge; also sets the sequence padding multiple
 _NEG_INF = -1e30
 
 
@@ -60,27 +61,32 @@ def _uniform_hash(ids: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
     return (x >> 8).astype(jnp.float32) * (2.0 ** -24)
 
 
-def _keep_scale_block(seed, bh, jq, jk, t_pad, dropout_p):
-    """(BLK, BLK) dropout scale {0, 1/(1-p)} for block (bh, jq, jk).
+def _keep_scale_block(seed, bh, jq, jk, shape, t_pad, dropout_p):
+    """``shape``-sized dropout scale {0, 1/(1-p)} for tile (bh, jq, jk).
 
-    Element id = (bh·Tp + row)·Tp + col — position-global, so forward and
-    both backward kernels regenerate identical bits from grid coordinates.
+    Element id = (bh·Tp + row)·Tp + col — position-global, so the forward
+    and both backward kernels regenerate identical bits from their own grid
+    coordinates/tile sizes.  (Tp is part of the id formula: the bit stream
+    is only reproducible for the same padded length, which fwd/bwd share.)
     """
-    r = jq * BLK + jax.lax.broadcasted_iota(jnp.uint32, (BLK, BLK), 0)
-    c = jk * BLK + jax.lax.broadcasted_iota(jnp.uint32, (BLK, BLK), 1)
+    r = jq * shape[0] + jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    c = jk * shape[1] + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     ids = (bh.astype(jnp.uint32) * t_pad + r) * t_pad + c
     u = _uniform_hash(ids, seed)
     keep = (u >= dropout_p).astype(jnp.float32)
     return keep * (1.0 / (1.0 - dropout_p))
 
 
-def dropout_scale_reference(seed, n_bh: int, t: int, dropout_p: float):
+def dropout_scale_reference(seed, n_bh: int, t: int, dropout_p: float,
+                            block: int = DEFAULT_BLOCK):
     """Exact jnp replica of the in-kernel dropout mask, (n_bh, t, t).
 
     ``seed`` is the int32 scalar passed to :func:`flash_mha` internals (see
-    :func:`derive_seed`).  Test oracle only — materializes the full matrix.
+    :func:`derive_seed`); ``block`` must match the flash_mha call (it sets
+    the padded length entering the id formula).  Test oracle only —
+    materializes the full matrix.
     """
-    t_pad = -(-t // BLK) * BLK
+    t_pad = -(-t // block) * block
     bh = jnp.arange(n_bh, dtype=jnp.uint32)[:, None, None]
     r = jnp.arange(t, dtype=jnp.uint32)[None, :, None]
     c = jnp.arange(t, dtype=jnp.uint32)[None, None, :]
@@ -100,7 +106,8 @@ def derive_seed(rng) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                m_scr, l_scr, acc_scr, *, sm_scale, dropout_p, vlen, t_pad):
+                m_scr, l_scr, acc_scr, *, sm_scale, dropout_p, vlen, t_pad,
+                block):
     jk = pl.program_id(2)
 
     @pl.when(jk == 0)
@@ -113,8 +120,9 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     k = k_ref[0]                                           # (BLK, D)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * sm_scale
-    if vlen % BLK:
-        col = jk * BLK + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    masked = vlen % block != 0
+    if masked:
+        col = jk * block + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < vlen, s, _NEG_INF)
 
     m_prev = jnp.max(m_scr[...], axis=1, keepdims=True)    # (BLK, 1)
@@ -122,10 +130,16 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
     alpha = jnp.exp(m_prev - m_new)
     p = jnp.exp(s - m_new)                                 # (BLK, BLK) f32
+    if masked:
+        # exp underflow already zeroes masked cols whenever the block holds
+        # at least one valid column; the explicit zero also keeps an
+        # all-padded block inert (there m_new == mask value and p == 1).
+        p = jnp.where(col < vlen, p, 0.0)
     l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
     if dropout_p > 0.0:
         p = p * _keep_scale_block(seed_ref[0], pl.program_id(0),
-                                  pl.program_id(1), jk, t_pad, dropout_p)
+                                  pl.program_id(1), jk, s.shape, t_pad,
+                                  dropout_p)
     pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0],
                              (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -140,33 +154,35 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         lse_ref[0] = (m_new + jnp.log(l_new))[:, 0]
 
 
-def _mha_fwd_pallas(q, k, v, seed, sm_scale, dropout_p, vlen, interpret):
+def _mha_fwd_pallas(q, k, v, seed, sm_scale, dropout_p, vlen, block,
+                    interpret):
     bh, t_pad, d = q.shape
-    nblk = t_pad // BLK
+    nblk = t_pad // block
     grid = (bh, nblk, nblk)
     kernel = functools.partial(_fwd_kernel, sm_scale=sm_scale,
-                               dropout_p=dropout_p, vlen=vlen, t_pad=t_pad)
+                               dropout_p=dropout_p, vlen=vlen, t_pad=t_pad,
+                               block=block)
     o, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),                  # seed
-            pl.BlockSpec((1, BLK, d), lambda i, j, kk: (i, j, 0)),  # q
-            pl.BlockSpec((1, BLK, d), lambda i, j, kk: (i, kk, 0)),  # k
-            pl.BlockSpec((1, BLK, d), lambda i, j, kk: (i, kk, 0)),  # v
+            pl.BlockSpec(memory_space=pltpu.SMEM),                    # seed
+            pl.BlockSpec((1, block, d), lambda i, j, kk: (i, j, 0)),  # q
+            pl.BlockSpec((1, block, d), lambda i, j, kk: (i, kk, 0)),  # k
+            pl.BlockSpec((1, block, d), lambda i, j, kk: (i, kk, 0)),  # v
         ],
         out_specs=[
-            pl.BlockSpec((1, BLK, d), lambda i, j, kk: (i, j, 0)),  # o
-            pl.BlockSpec((1, BLK), lambda i, j, kk: (i, j)),        # lse
+            pl.BlockSpec((1, block, d), lambda i, j, kk: (i, j, 0)),  # o
+            pl.BlockSpec((1, block), lambda i, j, kk: (i, j)),        # lse
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, t_pad, d), q.dtype),
             jax.ShapeDtypeStruct((bh, t_pad), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BLK, 128), jnp.float32),   # running max (lane-repl)
-            pltpu.VMEM((BLK, 128), jnp.float32),   # running sum
-            pltpu.VMEM((BLK, d), jnp.float32),     # output accumulator
+            pltpu.VMEM((block, 128), jnp.float32),  # running max (lane-repl)
+            pltpu.VMEM((block, 128), jnp.float32),  # running sum
+            pltpu.VMEM((block, d), jnp.float32),    # output accumulator
         ],
         interpret=interpret,
     )(seed, q, k, v)
@@ -177,18 +193,18 @@ def _mha_fwd_pallas(q, k, v, seed, sm_scale, dropout_p, vlen, interpret):
 # backward kernels (recompute probability blocks from q, k, lse)
 # ---------------------------------------------------------------------------
 
-def _p_block(q, k, lse_rows, jk, *, sm_scale, vlen):
+def _p_block(q, k, lse_rows, jk, *, sm_scale, vlen, block):
     """Recomputed probability block P = exp(s·scale − lse) with col mask."""
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * sm_scale
-    if vlen % BLK:
-        col = jk * BLK + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    if vlen % block:
+        col = jk * block + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < vlen, s, _NEG_INF)
     return jnp.exp(s - lse_rows[:, None])
 
 
 def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref,
-               dq_ref, dq_scr, *, sm_scale, dropout_p, vlen, t_pad):
+               dq_ref, dq_scr, *, sm_scale, dropout_p, vlen, t_pad, block):
     jk = pl.program_id(2)
 
     @pl.when(jk == 0)
@@ -197,12 +213,14 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref,
 
     q = q_ref[0]
     k = k_ref[0]
-    p = _p_block(q, k, lse_ref[0], jk, sm_scale=sm_scale, vlen=vlen)
+    p = _p_block(q, k, lse_ref[0], jk, sm_scale=sm_scale, vlen=vlen,
+                 block=block)
     dpd = jax.lax.dot_general(do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
     if dropout_p > 0.0:
         dpd = dpd * _keep_scale_block(seed_ref[0], pl.program_id(0),
-                                      pl.program_id(1), jk, t_pad, dropout_p)
+                                      pl.program_id(1), jk, p.shape, t_pad,
+                                      dropout_p)
     ds = p * (dpd - dvec_ref[0][:, None]) * sm_scale
     dq_scr[...] = dq_scr[...] + jax.lax.dot_general(
         ds.astype(q.dtype), k, (((1,), (0,)), ((), ())),
@@ -215,7 +233,7 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref,
 
 def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref,
                 dk_ref, dv_ref, dk_scr, dv_scr,
-                *, sm_scale, dropout_p, vlen, t_pad):
+                *, sm_scale, dropout_p, vlen, t_pad, block):
     jq = pl.program_id(2)
     jk = pl.program_id(1)
 
@@ -227,12 +245,13 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref,
     q = q_ref[0]
     k = k_ref[0]
     do = do_ref[0]
-    p = _p_block(q, k, lse_ref[0], jk, sm_scale=sm_scale, vlen=vlen)
+    p = _p_block(q, k, lse_ref[0], jk, sm_scale=sm_scale, vlen=vlen,
+                 block=block)
     dpd = jax.lax.dot_general(do, v_ref[0], (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
     if dropout_p > 0.0:
         scale = _keep_scale_block(seed_ref[0], pl.program_id(0), jq, jk,
-                                  t_pad, dropout_p)
+                                  p.shape, t_pad, dropout_p)
         pd = p * scale
         dpd = dpd * scale
     else:
@@ -252,15 +271,15 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref,
 
 
 def _mha_bwd_pallas(q, k, v, o, lse, seed, do,
-                    sm_scale, dropout_p, vlen, interpret):
+                    sm_scale, dropout_p, vlen, block, interpret):
     bh, t_pad, d = q.shape
-    nblk = t_pad // BLK
+    nblk = t_pad // block
     dvec = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
 
     common = dict(sm_scale=sm_scale, dropout_p=dropout_p, vlen=vlen,
-                  t_pad=t_pad)
-    row_spec = lambda sel: pl.BlockSpec((1, BLK, d), sel)
-    vec_spec = lambda sel: pl.BlockSpec((1, BLK), sel)
+                  t_pad=t_pad, block=block)
+    row_spec = lambda sel: pl.BlockSpec((1, block, d), sel)
+    vec_spec = lambda sel: pl.BlockSpec((1, block), sel)
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, **common),
@@ -276,7 +295,7 @@ def _mha_bwd_pallas(q, k, v, o, lse, seed, do,
         ],
         out_specs=row_spec(lambda i, j, kk: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, t_pad, d), q.dtype),
-        scratch_shapes=[pltpu.VMEM((BLK, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((block, d), jnp.float32)],
         interpret=interpret,
     )(seed, q, k, v, do, lse, dvec)
 
@@ -301,8 +320,8 @@ def _mha_bwd_pallas(q, k, v, o, lse, seed, do,
             jax.ShapeDtypeStruct((bh, t_pad, d), v.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BLK, d), jnp.float32),
-            pltpu.VMEM((BLK, d), jnp.float32),
+            pltpu.VMEM((block, d), jnp.float32),
+            pltpu.VMEM((block, d), jnp.float32),
         ],
         interpret=interpret,
     )(seed, q, k, v, do, lse, dvec)
@@ -313,23 +332,24 @@ def _mha_bwd_pallas(q, k, v, o, lse, seed, do,
 # custom-vjp core + public wrapper
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _mha_core(q, k, v, seed, sm_scale, dropout_p, vlen, interpret):
-    o, _ = _mha_fwd_pallas(q, k, v, seed, sm_scale, dropout_p, vlen,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _mha_core(q, k, v, seed, sm_scale, dropout_p, vlen, block, interpret):
+    o, _ = _mha_fwd_pallas(q, k, v, seed, sm_scale, dropout_p, vlen, block,
                            interpret)
     return o
 
 
-def _mha_fwd_rule(q, k, v, seed, sm_scale, dropout_p, vlen, interpret):
-    o, lse = _mha_fwd_pallas(q, k, v, seed, sm_scale, dropout_p, vlen,
+def _mha_fwd_rule(q, k, v, seed, sm_scale, dropout_p, vlen, block,
+                  interpret):
+    o, lse = _mha_fwd_pallas(q, k, v, seed, sm_scale, dropout_p, vlen, block,
                              interpret)
     return o, (q, k, v, o, lse, seed)
 
 
-def _mha_bwd_rule(sm_scale, dropout_p, vlen, interpret, res, do):
+def _mha_bwd_rule(sm_scale, dropout_p, vlen, block, interpret, res, do):
     q, k, v, o, lse, seed = res
     dq, dk, dv = _mha_bwd_pallas(q, k, v, o, lse, seed, do,
-                                 sm_scale, dropout_p, vlen, interpret)
+                                 sm_scale, dropout_p, vlen, block, interpret)
     return dq, dk, dv, np.zeros((1,), dtype=jax.dtypes.float0)
 
 
@@ -337,14 +357,14 @@ _mha_core.defvjp(_mha_fwd_rule, _mha_bwd_rule)
 
 
 def flash_mha(q, k, v, *, sm_scale=None, dropout_p: float = 0.0, rng=None,
-              interpret=None):
+              block: int = DEFAULT_BLOCK, interpret=None):
     """Flash attention: softmax(q kᵀ · sm_scale) v, optional prob dropout.
 
-    q, k, v: (B, heads, T, head_dim); any T (padded internally to 128s).
-    ``dropout_p`` > 0 requires ``rng`` (a PRNGKey) and applies iid dropout to
-    the normalized attention probabilities — torch ``nn.Dropout`` on the
-    attention matrix semantics (model2_seq.py:94-99) from a counter-based
-    hash PRNG (not the torch RNG stream).
+    q, k, v: (B, heads, T, head_dim); any T (padded internally to a multiple
+    of ``block``).  ``dropout_p`` > 0 requires ``rng`` (a PRNGKey) and
+    applies iid dropout to the normalized attention probabilities — torch
+    ``nn.Dropout`` on the attention matrix semantics (model2_seq.py:94-99)
+    from a counter-based hash PRNG (not the torch RNG stream).
     ``interpret=None`` auto-selects interpreter mode off-TPU (CPU tests).
     """
     b, h, t, d = q.shape
@@ -352,7 +372,7 @@ def flash_mha(q, k, v, *, sm_scale=None, dropout_p: float = 0.0, rng=None,
         sm_scale = float(d) ** -0.5
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    t_pad = -(-t // BLK) * BLK
+    t_pad = -(-t // block) * block
     pad = t_pad - t
 
     def prep(x):
@@ -367,5 +387,5 @@ def flash_mha(q, k, v, *, sm_scale=None, dropout_p: float = 0.0, rng=None,
     else:
         seed = jnp.zeros((1,), jnp.int32)
     o = _mha_core(prep(q), prep(k), prep(v), seed, float(sm_scale),
-                  float(dropout_p), t, bool(interpret))
+                  float(dropout_p), t, int(block), bool(interpret))
     return o.reshape(b, h, t_pad, d)[:, :, :t]

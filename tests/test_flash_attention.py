@@ -13,7 +13,7 @@ import numpy as np
 import pytest
 
 from deepsense6g_tii_tpu.ops.flash_attention import (
-    BLK, derive_seed, dropout_scale_reference, flash_mha)
+    derive_seed, dropout_scale_reference, flash_mha)
 
 
 def _ref_mha(q, k, v, sm_scale, scale_mask=None):
@@ -37,14 +37,14 @@ class TestForward:
     def test_matches_reference(self, rng, t):
         q, k, v = _qkv(rng, t=t)
         sm = q.shape[-1] ** -0.5
-        out = flash_mha(q, k, v, sm_scale=sm, interpret=True)
+        out = flash_mha(q, k, v, sm_scale=sm, block=128, interpret=True)
         ref = _ref_mha(q, k, v, sm)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-6)
 
     def test_default_scale_is_rsqrt_d(self, rng):
         q, k, v = _qkv(rng, t=40)
-        out = flash_mha(q, k, v, interpret=True)
+        out = flash_mha(q, k, v, block=128, interpret=True)
         ref = _ref_mha(q, k, v, q.shape[-1] ** -0.5)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-6)
@@ -59,7 +59,7 @@ class TestBackward:
 
         def loss_flash(q, k, v):
             return jnp.sum(flash_mha(q, k, v, sm_scale=sm,
-                                     interpret=True) * w)
+                                     block=128, interpret=True) * w)
 
         def loss_ref(q, k, v):
             return jnp.sum(_ref_mha(q, k, v, sm) * w)
@@ -79,9 +79,10 @@ class TestDropout:
         sm = q.shape[-1] ** -0.5
         key = jax.random.PRNGKey(7)
         out = flash_mha(q, k, v, sm_scale=sm, dropout_p=p, rng=key,
-                        interpret=True)
+                        block=128, interpret=True)
         seed = derive_seed(key)
-        mask = dropout_scale_reference(seed, b * h, t, p).reshape(b, h, t, t)
+        mask = dropout_scale_reference(seed, b * h, t, p,
+                                       block=128).reshape(b, h, t, t)
         ref = _ref_mha(q, k, v, sm, scale_mask=mask)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-6)
@@ -92,12 +93,13 @@ class TestDropout:
         sm = q.shape[-1] ** -0.5
         key = jax.random.PRNGKey(3)
         seed = derive_seed(key)
-        mask = dropout_scale_reference(seed, b * h, t, p).reshape(b, h, t, t)
+        mask = dropout_scale_reference(seed, b * h, t, p,
+                                       block=128).reshape(b, h, t, t)
         w = jnp.asarray(rng.normal(size=q.shape), jnp.float32)
 
         def loss_flash(q, k, v):
             return jnp.sum(flash_mha(q, k, v, sm_scale=sm, dropout_p=p,
-                                     rng=key, interpret=True) * w)
+                                     rng=key, block=128, interpret=True) * w)
 
         def loss_ref(q, k, v):
             return jnp.sum(_ref_mha(q, k, v, sm, scale_mask=mask) * w)
@@ -112,16 +114,18 @@ class TestDropout:
     def test_deterministic_given_key(self, rng):
         q, k, v = _qkv(rng, t=140)
         key = jax.random.PRNGKey(11)
-        o1 = flash_mha(q, k, v, dropout_p=0.1, rng=key, interpret=True)
-        o2 = flash_mha(q, k, v, dropout_p=0.1, rng=key, interpret=True)
+        o1 = flash_mha(q, k, v, dropout_p=0.1, rng=key, block=128,
+                       interpret=True)
+        o2 = flash_mha(q, k, v, dropout_p=0.1, rng=key, block=128,
+                       interpret=True)
         np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
         o3 = flash_mha(q, k, v, dropout_p=0.1, rng=jax.random.PRNGKey(12),
-                       interpret=True)
+                       block=128, interpret=True)
         assert np.abs(np.asarray(o1) - np.asarray(o3)).max() > 0
 
     def test_keep_rate(self):
         mask = dropout_scale_reference(jnp.zeros((1,), jnp.int32),
-                                       4, 2 * BLK, 0.1)
+                                       4, 256, 0.1, block=128)
         keep_frac = float((np.asarray(mask) > 0).mean())
         assert abs(keep_frac - 0.9) < 0.01
 
@@ -129,6 +133,25 @@ class TestDropout:
         q, k, v = _qkv(rng, t=40)
         with pytest.raises(ValueError, match="requires rng"):
             flash_mha(q, k, v, dropout_p=0.1, interpret=True)
+
+    def test_default_block_multiblock(self, rng):
+        """Production tile size (512): T=600 spans 2x2 blocks w/ masking."""
+        q, k, v = _qkv(rng, t=600, d=32)
+        sm = q.shape[-1] ** -0.5
+        w = jnp.asarray(rng.normal(size=q.shape), jnp.float32)
+        out = flash_mha(q, k, v, sm_scale=sm, interpret=True)
+        ref = _ref_mha(q, k, v, sm)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-6)
+        gf = jax.grad(lambda q, k, v: jnp.sum(
+            flash_mha(q, k, v, sm_scale=sm, interpret=True) * w),
+            argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(lambda q, k, v: jnp.sum(_ref_mha(q, k, v, sm) * w),
+                      argnums=(0, 1, 2))(q, k, v)
+        for a, b_, name in zip(gf, gr, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=3e-5, atol=3e-6,
+                err_msg=f"d{name} mismatch")
 
 
 class TestModuleIntegration:

@@ -48,7 +48,11 @@ def main():
                        opt_mu_dtype=os.environ.get("DEEPSENSE_BENCH_MU_DTYPE")
                        or None,
                        FFM=0 if arch == "gpt" else 1,
-                       TFM=0 if arch == "gpt" else 1)
+                       TFM=0 if arch == "gpt" else 1,
+                       use_flash_attention=(
+                           on_tpu and arch == "gpt"
+                           and os.environ.get("DEEPSENSE_BENCH_FLASH",
+                                              "1") != "0"))
     model = BeamFuser(cfg)
     batch = make_synth_batch(cfg, B)
 
