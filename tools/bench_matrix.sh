@@ -29,3 +29,6 @@ run DEEPSENSE_BENCH_ARCH=gpt DEEPSENSE_BENCH_B=16 DEEPSENSE_BENCH_K=8
 
 # 5. convergence smoke for the bf16-mu config (only needed if 2 wins)
 timeout 3600 python tools/convergence_smoke.py --opt_mu_dtype bfloat16
+
+# 6. convergence smoke through the flash kernel + in-kernel dropout
+timeout 3600 python tools/convergence_smoke.py --arch gpt

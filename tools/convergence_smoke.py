@@ -29,6 +29,12 @@ def main():
     ap.add_argument("--opt_mu_dtype", default=None,
                     choices=["bfloat16", "float32"],
                     help="Adam first-moment dtype (A/B the bf16-mu config)")
+    ap.add_argument("--arch", default="mamba", choices=["mamba", "gpt"],
+                    help="gpt = GPT TransFuser (FFM=0/TFM=0) with flash "
+                         "attention + in-kernel prob dropout on TPU")
+    ap.add_argument("--flash", type=int, default=None,
+                    help="override flash attention for --arch gpt "
+                         "(default: on when on TPU)")
     args = ap.parse_args()
 
     import jax
@@ -47,9 +53,13 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     mu_dtype = (None if args.opt_mu_dtype in (None, "float32")
                 else args.opt_mu_dtype)
+    flash = (on_tpu if args.flash is None else bool(args.flash))
     cfg = GlobalConfig(use_pallas_scan=on_tpu,
                        compute_dtype="bfloat16" if on_tpu else "float32",
-                       opt_mu_dtype=mu_dtype)
+                       opt_mu_dtype=mu_dtype,
+                       FFM=0 if args.arch == "gpt" else 1,
+                       TFM=0 if args.arch == "gpt" else 1,
+                       use_flash_attention=args.arch == "gpt" and flash)
     rng = np.random.default_rng(0)
     B = args.batch
     idx = rng.integers(0, 64, B)
