@@ -28,6 +28,18 @@ class TestFlagSurface:
             "--ema", "1", "--flip", "0", "--device", "cpu"])
         assert args.epochs == 150 and args.modality_missing == "radar"
 
+    def test_flash_attention_flag(self):
+        """--flash_attention: explicit values win; auto = off on the CPU
+        backend (the kernel path is TPU-targeted)."""
+        p = cli.build_parser()
+        base = ["--id", "x", "--device", "cpu"]
+        assert not cli.config_from_args(
+            p.parse_args(base)).use_flash_attention            # auto on cpu
+        assert cli.config_from_args(
+            p.parse_args(base + ["--flash_attention", "1"])).use_flash_attention
+        assert not cli.config_from_args(
+            p.parse_args(base + ["--flash_attention", "0"])).use_flash_attention
+
     def test_device_flag_selects_platform(self):
         """--device cpu forces the CPU platform (reference train2_seq.py:31);
         the default "tpu" leaves the environment's backend untouched (the
