@@ -154,6 +154,34 @@ class TestDropout:
                 err_msg=f"d{name} mismatch")
 
 
+class TestBfloat16:
+    def test_bf16_forward_and_grads(self, rng):
+        """bf16 boundary: outputs/grads keep input dtype, f32 accumulation
+        stays close to the f32 reference (production runs bf16 on TPU)."""
+        qf, kf, vf = _qkv(rng, t=200, d=64)
+        q, k, v = (x.astype(jnp.bfloat16) for x in (qf, kf, vf))
+        sm = qf.shape[-1] ** -0.5
+        out = flash_mha(q, k, v, sm_scale=sm, block=128, interpret=True)
+        assert out.dtype == jnp.bfloat16
+        ref = _ref_mha(qf, kf, vf, sm)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref), rtol=0, atol=3e-2)
+
+        w = jnp.asarray(rng.normal(size=qf.shape), jnp.float32)
+        gf = jax.grad(lambda q, k, v: jnp.sum(
+            flash_mha(q, k, v, sm_scale=sm, block=128,
+                      interpret=True).astype(jnp.float32) * w),
+            argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(lambda q, k, v: jnp.sum(
+            _ref_mha(q, k, v, sm).astype(jnp.float32) * w),
+            argnums=(0, 1, 2))(qf, kf, vf)
+        for a, b_, name in zip(gf, gr, "qkv"):
+            assert a.dtype == jnp.bfloat16, name
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b_), rtol=0, atol=5e-2,
+                err_msg=f"d{name} mismatch")
+
+
 class TestModuleIntegration:
     def test_self_attention_flash_equals_einsum(self, rng):
         from deepsense6g_tii_tpu.models.fusion import SelfAttention
