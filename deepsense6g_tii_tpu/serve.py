@@ -145,6 +145,76 @@ class Predictor:
                 "batch": batch}
 
 
+    # -- compiled-artifact export (jax.export) ---------------------------------
+
+    def export_artifact(self, path: str,
+                        batch_size: Optional[int] = None) -> None:
+        """Serialize the forward as a self-contained StableHLO artifact.
+
+        Weights are folded in as constants, so serving the artifact needs
+        neither the model code nor the checkpoint — only jax on the same
+        platform family it was exported on (``jax.export`` embeds the
+        lowering platform).  Fixed batch (default: largest bucket × mesh);
+        :class:`ExportedPredictor` pads ragged batches up to it.
+        """
+        m = self.mesh.devices.size if self.mesh is not None else 1
+        b = batch_size or self.buckets[-1] * m
+        T, H = self.config.seq_len, self.config.crop
+        rc = 2 if self.config.add_velocity else 1
+        variables = jax.device_get(self.variables)
+        top_k = self.top_k
+        model = self.model
+
+        def fwd(image, lidar, radar, gps):
+            logits = model.apply(variables, image, lidar, radar, gps,
+                                 train=False)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            conf, idx = jax.lax.top_k(probs, top_k)
+            return idx, conf
+
+        specs = (jax.ShapeDtypeStruct((b, T, H, H, 3), jnp.float32),
+                 jax.ShapeDtypeStruct((b, T, H, H, 1), jnp.float32),
+                 jax.ShapeDtypeStruct((b, T, H, H, rc), jnp.float32),
+                 jax.ShapeDtypeStruct((b, self.config.gps_len, 2),
+                                      jnp.float32))
+        exported = jax.export.export(jax.jit(fwd))(*specs)
+        with open(path, "wb") as f:
+            f.write(exported.serialize())
+
+
+class ExportedPredictor:
+    """Serves a :meth:`Predictor.export_artifact` file.
+
+    The artifact is a compiled fixed-batch forward with the weights baked
+    in; this wrapper only pads ragged request batches up to the artifact's
+    batch size and converts outputs to the same contract as
+    :meth:`Predictor.predict` (1-indexed top-k beams + confidences).
+    """
+
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            self._exported = jax.export.deserialize(bytearray(f.read()))
+        self.batch = int(self._exported.in_avals[0].shape[0])
+
+    def predict(self, image, lidar, radar, gps
+                ) -> Tuple[np.ndarray, np.ndarray]:
+        n = image.shape[0]
+        b = self.batch
+        if n > b:
+            raise ValueError(
+                f"request batch {n} exceeds the artifact's fixed batch {b}; "
+                "re-export with a larger batch_size or split the request")
+        arrs = []
+        for a in (image, lidar, radar, gps):
+            a = np.asarray(a, np.float32)
+            if n < b:
+                a = np.pad(a, ((0, b - n),) + ((0, 0),) * (a.ndim - 1))
+            arrs.append(a)
+        idx, conf = self._exported.call(*arrs)
+        return (np.asarray(idx)[:n] + 1,
+                np.asarray(conf)[:n, 0])
+
+
 def main(argv=None) -> int:
     import argparse
     import json

@@ -64,6 +64,35 @@ class TestPredictor:
         assert stats["p50_ms"] > 0 and stats["p90_ms"] >= stats["p50_ms"]
 
 
+class TestExportedArtifact:
+    def test_roundtrip_matches_predictor(self, predictor, tmp_path):
+        """export_artifact -> ExportedPredictor: same predictions without
+        model code or checkpoint (weights are baked into the artifact)."""
+        from deepsense6g_tii_tpu.serve import ExportedPredictor
+        path = str(tmp_path / "model.jaxexport")
+        predictor.export_artifact(path, batch_size=4)
+        served = ExportedPredictor(path)
+        assert served.batch == 4
+
+        rng = np.random.default_rng(1)
+        img = rng.uniform(0, 255, (4, 2, 128, 128, 3)).astype(np.float32)
+        rest = _inputs(4)[1:]
+        b_ref, c_ref = predictor.predict(img, *rest)
+        b_exp, c_exp = served.predict(img, *rest)
+        np.testing.assert_array_equal(b_exp, b_ref)
+        np.testing.assert_allclose(c_exp, c_ref, rtol=1e-5, atol=1e-6)
+
+        # ragged request pads up to the artifact batch
+        b3, c3 = served.predict(img[:3], rest[0][:3], rest[1][:3],
+                                rest[2][:3])
+        np.testing.assert_array_equal(b3, b_ref[:3])
+
+        # oversize request is rejected, not silently truncated
+        big = _inputs(5)
+        with pytest.raises(ValueError, match="exceeds"):
+            served.predict(*big)
+
+
 class TestMeshServing:
     def test_mesh_matches_single_device(self, predictor, tmp_path):
         """use_mesh=True shards request batches over the 8-device CPU mesh
