@@ -58,7 +58,9 @@ def _uniform_hash(ids: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
     x = x ^ (x >> 13)
     x = x * jnp.uint32(0xC2B2AE35)
     x = x ^ (x >> 16)
-    return (x >> 8).astype(jnp.float32) * (2.0 ** -24)
+    # cast through int32: Mosaic has no uint32->f32 lowering, and after the
+    # >> 8 the value fits in 24 bits so the detour is exact.
+    return (x >> 8).astype(jnp.int32).astype(jnp.float32) * (2.0 ** -24)
 
 
 def _keep_scale_block(seed, bh, jq, jk, shape, t_pad, dropout_p):
@@ -151,7 +153,11 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     @pl.when(jk == pl.num_programs(2) - 1)
     def _():
         o_ref[0] = (acc / l_new).astype(o_ref.dtype)
-        lse_ref[0] = (m_new + jnp.log(l_new))[:, 0]
+        # lane-replicated (block, 128) store: Mosaic requires the last two
+        # block dims to be divisible by (8, 128) or equal the array dims, so
+        # a flat (1, block) row vector cannot be a TPU output block.
+        lse_ref[0] = jnp.broadcast_to(m_new + jnp.log(l_new),
+                                      lse_ref[0].shape)
 
 
 def _mha_fwd_pallas(q, k, v, seed, sm_scale, dropout_p, vlen, block,
@@ -173,11 +179,11 @@ def _mha_fwd_pallas(q, k, v, seed, sm_scale, dropout_p, vlen, block,
         ],
         out_specs=[
             pl.BlockSpec((1, block, d), lambda i, j, kk: (i, j, 0)),  # o
-            pl.BlockSpec((1, block), lambda i, j, kk: (i, j)),        # lse
+            pl.BlockSpec((1, block, 128), lambda i, j, kk: (i, j, 0)),  # lse
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, t_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bh, t_pad, 128), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block, 128), jnp.float32),  # running max (lane-repl)
@@ -186,7 +192,7 @@ def _mha_fwd_pallas(q, k, v, seed, sm_scale, dropout_p, vlen, block,
         ],
         interpret=interpret,
     )(seed, q, k, v)
-    return o, lse
+    return o, lse[:, :, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -194,13 +200,16 @@ def _mha_fwd_pallas(q, k, v, seed, sm_scale, dropout_p, vlen, block,
 # ---------------------------------------------------------------------------
 
 def _p_block(q, k, lse_rows, jk, *, sm_scale, vlen, block):
-    """Recomputed probability block P = exp(s·scale − lse) with col mask."""
+    """Recomputed probability block P = exp(s·scale − lse) with col mask.
+
+    ``lse_rows`` is the lane-replicated (block, 128) tile; only lane 0 is
+    used (all lanes carry the same value)."""
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * sm_scale
     if vlen % block:
         col = jk * block + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < vlen, s, _NEG_INF)
-    return jnp.exp(s - lse_rows[:, None])
+    return jnp.exp(s - lse_rows[:, :1])
 
 
 def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref,
@@ -221,7 +230,7 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref,
         dpd = dpd * _keep_scale_block(seed_ref[0], pl.program_id(0),
                                       pl.program_id(1), jk, p.shape, t_pad,
                                       dropout_p)
-    ds = p * (dpd - dvec_ref[0][:, None]) * sm_scale
+    ds = p * (dpd - dvec_ref[0][:, :1]) * sm_scale
     dq_scr[...] = dq_scr[...] + jax.lax.dot_general(
         ds.astype(q.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -259,7 +268,7 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref,
     dv_scr[...] = dv_scr[...] + jax.lax.dot_general(
         pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    ds = p * (dpd - dvec_ref[0][:, None]) * sm_scale
+    ds = p * (dpd - dvec_ref[0][:, :1]) * sm_scale
     dk_scr[...] = dk_scr[...] + jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -275,11 +284,16 @@ def _mha_bwd_pallas(q, k, v, o, lse, seed, do,
     bh, t_pad, d = q.shape
     nblk = t_pad // block
     dvec = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    # lane-replicate the per-row vectors (see _fwd_kernel lse note): TPU
+    # blocks cannot have a unit second-to-last dim unless it equals the
+    # array dim, so (1, block) tiles of a (bh, t_pad) array don't lower.
+    lse = jnp.broadcast_to(lse[..., None], (bh, t_pad, 128))
+    dvec = jnp.broadcast_to(dvec[..., None], (bh, t_pad, 128))
 
     common = dict(sm_scale=sm_scale, dropout_p=dropout_p, vlen=vlen,
                   t_pad=t_pad, block=block)
     row_spec = lambda sel: pl.BlockSpec((1, block, d), sel)
-    vec_spec = lambda sel: pl.BlockSpec((1, block), sel)
+    vec_spec = lambda sel: pl.BlockSpec((1, block, 128), sel)
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, **common),
@@ -290,8 +304,8 @@ def _mha_bwd_pallas(q, k, v, o, lse, seed, do,
             row_spec(lambda i, j, kk: (i, kk, 0)),                   # k
             row_spec(lambda i, j, kk: (i, kk, 0)),                   # v
             row_spec(lambda i, j, kk: (i, j, 0)),                    # do
-            vec_spec(lambda i, j, kk: (i, j)),                       # lse
-            vec_spec(lambda i, j, kk: (i, j)),                       # dvec
+            vec_spec(lambda i, j, kk: (i, j, 0)),                    # lse
+            vec_spec(lambda i, j, kk: (i, j, 0)),                    # dvec
         ],
         out_specs=row_spec(lambda i, j, kk: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, t_pad, d), q.dtype),
@@ -308,8 +322,8 @@ def _mha_bwd_pallas(q, k, v, o, lse, seed, do,
             row_spec(lambda i, kk, j: (i, kk, 0)),                   # k
             row_spec(lambda i, kk, j: (i, kk, 0)),                   # v
             row_spec(lambda i, kk, j: (i, j, 0)),                    # do
-            vec_spec(lambda i, kk, j: (i, j)),                       # lse
-            vec_spec(lambda i, kk, j: (i, j)),                       # dvec
+            vec_spec(lambda i, kk, j: (i, j, 0)),                    # lse
+            vec_spec(lambda i, kk, j: (i, j, 0)),                    # dvec
         ],
         out_specs=[
             row_spec(lambda i, kk, j: (i, kk, 0)),                   # dk
