@@ -1,7 +1,14 @@
 #!/bin/bash
-# Pending-TPU-measurement matrix (NOTES_NEXT_ROUND.md): run when the axon
-# tunnel is up.  ONE TPU process at a time (two wedge the tunnel).
+# TPU measurement matrix: run when the axon tunnel is up.
+# ONE TPU process at a time (two wedge the tunnel).
 # Usage: bash tools/bench_matrix.sh
+#
+# Measured r2 results (NOTES_NEXT_ROUND.md):
+#   Mamba B=8 K=8 (default):        52.8-52.9 samples/s/chip
+#   Mamba B=16 (any K, bf16-mu):    OOM (by 20 MB at K=1)
+#   GPT flash B=8 K=8:              86.9   (einsum path: 52.4)
+#   GPT flash B=16 K=8 (default):   90.9
+#   convergence smokes:             PASS (bf16-mu and gpt+flash)
 set -u
 cd "$(dirname "$0")/.."
 
@@ -11,24 +18,15 @@ run() {
     echo
 }
 
-# 1. clean default re-check (last good: 52.9 samples/s/chip)
+# 1. the two defaults (regression re-check)
 run DEEPSENSE_BENCH_B=8 DEEPSENSE_BENCH_K=8
+run DEEPSENSE_BENCH_ARCH=gpt DEEPSENSE_BENCH_K=8
 
-# 2. the pending A/B: B=16 no-remat + bf16 Adam mu (frees ~207 MB; r1 B=16
-#    no-remat OOMed by 175 MB).  If it beats the default, flip engine/bench
-#    defaults after a convergence smoke.
-run DEEPSENSE_BENCH_B=16 DEEPSENSE_BENCH_K=8 DEEPSENSE_BENCH_MU_DTYPE=bfloat16
-
-# 3. GPT TransFuser with the flash-attention kernel vs the einsum path
-#    (r2 einsum number: 52.2 samples/s/chip at B=8 K=8)
-run DEEPSENSE_BENCH_ARCH=gpt DEEPSENSE_BENCH_B=8 DEEPSENSE_BENCH_K=8
+# 2. flash vs einsum A/B on the GPT path
 run DEEPSENSE_BENCH_ARCH=gpt DEEPSENSE_BENCH_FLASH=0 DEEPSENSE_BENCH_B=8 DEEPSENSE_BENCH_K=8
 
-# 4. flash frees the 962^2 attention residuals -> retry a bigger GPT batch
-run DEEPSENSE_BENCH_ARCH=gpt DEEPSENSE_BENCH_B=16 DEEPSENSE_BENCH_K=8
-
-# 5. convergence smoke for the bf16-mu config (only needed if 2 wins)
-timeout 3600 python tools/convergence_smoke.py --opt_mu_dtype bfloat16
-
-# 6. convergence smoke through the flash kernel + in-kernel dropout
+# 3. convergence smoke through the flash kernel + in-kernel dropout
 timeout 3600 python tools/convergence_smoke.py --arch gpt
+
+# 4. serving latency/throughput (framework-only capability; no reference analog)
+timeout 3600 python tools/bench_serve.py --arch gpt
