@@ -58,17 +58,19 @@ def main():
     n_chips = len(jax.devices())
     cancel()
     on_tpu = jax.default_backend() == "tpu"
-    # per-chip batch 8 / no remat measured optimal on v5e (NOTES_NEXT_ROUND);
-    # env knobs for A/B experiments only.
-    B = int(os.environ.get("DEEPSENSE_BENCH_B", 8 if on_tpu else 1)) * n_chips
+    # DEEPSENSE_BENCH_ARCH=gpt benches the GPT TransFuser (the 0.6671
+    # challenge winner, no Mamba) instead of the flagship MambaFuser
+    arch = os.environ.get("DEEPSENSE_BENCH_ARCH", "mamba")
+    # measured per-chip batch optima on v5e (NOTES_NEXT_ROUND): Mamba 8 (16
+    # OOMs by 20 MB even at K=1 + bf16-mu), GPT 16 (flash attention frees
+    # the attention residuals; 90.9 vs 86.9 samples/s/chip at 8).
+    default_b = (16 if arch == "gpt" else 8) if on_tpu else 1
+    B = int(os.environ.get("DEEPSENSE_BENCH_B", default_b)) * n_chips
     # steps fused per dispatch (Engine steps_per_dispatch / lax.scan): takes
     # the tunneled host's ~30 ms/step dispatch+sync gap off the measurement,
     # exactly as the production engine runs (train/engine.py::_staged_train).
     K = int(os.environ.get("DEEPSENSE_BENCH_K", 8 if on_tpu else 1))
 
-    # DEEPSENSE_BENCH_ARCH=gpt benches the GPT TransFuser (the 0.6671
-    # challenge winner, no Mamba) instead of the flagship MambaFuser
-    arch = os.environ.get("DEEPSENSE_BENCH_ARCH", "mamba")
     cfg = GlobalConfig(use_pallas_scan=on_tpu,
                        compute_dtype="bfloat16" if on_tpu else "float32",
                        remat=os.environ.get("DEEPSENSE_BENCH_REMAT", "none"),

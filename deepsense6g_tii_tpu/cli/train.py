@@ -61,10 +61,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grad_clip", type=float, default=None)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--remat", type=str, default="none",
-                   choices=["0", "1", "none", "fusion", "conv"],
+                   choices=["0", "1", "none", "fusion", "conv", "stem"],
                    help="rematerialization policy for larger batches: "
                         "none | fusion (checkpoint token-fusion stages) | "
-                        "conv (checkpoint ResNet stages, scans stored); "
+                        "conv (checkpoint ResNet stems+stages, scans stored) "
+                        "| stem (checkpoint only the 7x7 stems — the "
+                        "largest activations — at near-zero recompute); "
                         "0/1 alias none/fusion")
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="optimizer steps fused into one device dispatch "

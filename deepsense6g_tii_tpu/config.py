@@ -78,6 +78,9 @@ class GlobalConfig:
     # rematerialization policy: "none" | "fusion" (checkpoint the token-
     # fusion stages incl. scans) | "conv" (checkpoint the ResNet stages,
     # keep the scan activations stored — cheaper recompute per HBM saved)
+    # | "stem" (checkpoint only the 7x7 stems: their 128x128x64
+    # intermediates are the largest activations in the model, ~500 MB at
+    # B=16, and recompute for one cheap conv+BN per modality)
     remat: str = "none"
     # backbone depth override: None = reference depths (ResNet34 image,
     # ResNet18 lidar/radar — mambafuser_seq.py:23,59).  A 4-tuple of
@@ -99,8 +102,8 @@ class GlobalConfig:
         if isinstance(self.remat, bool):
             object.__setattr__(self, "remat", "fusion" if self.remat
                                else "none")
-        if self.remat not in ("none", "fusion", "conv"):
-            raise ValueError(f"remat must be 'none'|'fusion'|'conv', "
+        if self.remat not in ("none", "fusion", "conv", "stem"):
+            raise ValueError(f"remat must be 'none'|'fusion'|'conv'|'stem', "
                              f"got {self.remat!r}")
         if self.backbone_blocks is not None:
             # json round-trips tuples as lists; hashability needs a tuple

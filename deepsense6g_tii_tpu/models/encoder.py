@@ -53,16 +53,23 @@ class FusionEncoder(nn.Module):
         cfg = self.config
         dtype = jnp.dtype(cfg.compute_dtype)
         conv_remat = cfg.remat == "conv"
+        # "conv" checkpoints stems too: the stem intermediates dwarf any
+        # single stage, so a policy that remats all stages but stores the
+        # stems would spend recompute without unlocking larger batches.
+        stem_remat = cfg.remat in ("conv", "stem")
         img_blocks = cfg.backbone_blocks or RESNET34_BLOCKS
         oth_blocks = cfg.backbone_blocks or RESNET18_BLOCKS
         self.image_backbone = ResNetBackbone(img_blocks, dtype=dtype,
                                              remat=conv_remat,
+                                             remat_stem=stem_remat,
                                              name="image_encoder")
         self.lidar_backbone = ResNetBackbone(oth_blocks, dtype=dtype,
                                              remat=conv_remat,
+                                             remat_stem=stem_remat,
                                              name="lidar_encoder")
         self.radar_backbone = ResNetBackbone(oth_blocks, dtype=dtype,
                                              remat=conv_remat,
+                                             remat_stem=stem_remat,
                                              name="radar_encoder")
 
         self.vel_embs = [

@@ -117,11 +117,18 @@ class ResNetBackbone(nn.Module):
     blocks: Sequence[int] = RESNET18_BLOCKS
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    # remat="stem" policy: checkpoint ONLY the stem.  Its pre-maxpool
+    # 128x128x64 conv output is the single largest activation in the model
+    # (~167 MB bf16 per modality at B=16·T=5); recomputing it costs one
+    # 7x7 conv + BN forward per modality in the backward pass.
+    remat_stem: bool = False
 
     def setup(self):
         stage_cls = (nn.remat(ResNetStage, static_argnums=(2,))
                      if self.remat else ResNetStage)
-        self.stem = ResNetStem(dtype=self.dtype)
+        stem_cls = (nn.remat(ResNetStem, static_argnums=(2,))
+                    if self.remat_stem else ResNetStem)
+        self.stem = stem_cls(dtype=self.dtype)
         self.stage1 = stage_cls(STAGE_FEATURES[0], self.blocks[0],
                                 STAGE_STRIDES[0], dtype=self.dtype)
         self.stage2 = stage_cls(STAGE_FEATURES[1], self.blocks[1],

@@ -468,7 +468,7 @@ class TestRematPolicies:
             return jax.jit(jax.grad(loss))(variables["params"])
 
         g0 = grads_for("none")
-        for policy in ("fusion", "conv"):
+        for policy in ("fusion", "conv", "stem"):
             g1 = grads_for(policy)
             for a, b in zip(jax.tree_util.tree_leaves(g0),
                             jax.tree_util.tree_leaves(g1)):

@@ -1,0 +1,87 @@
+"""Serving latency/throughput bench on the real TPU chip.
+
+Builds a random-init :class:`~deepsense6g_tii_tpu.serve.Predictor` (no
+checkpoint needed — serving perf is weight-independent) and reports p50/p90
+latency per batch bucket plus steady-state throughput at the largest bucket.
+
+The reference has no serving layer (SURVEY.md section 1); these numbers
+document the production path this framework adds.  One TPU process at a
+time — don't run while bench.py holds the tunnel.
+
+Usage: python tools/bench_serve.py [--arch mamba|gpt] [--batches 1,8,16]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepsense6g_tii_tpu.config import GlobalConfig
+from deepsense6g_tii_tpu.models.fuser import BeamFuser
+from deepsense6g_tii_tpu.serve import Predictor
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--arch", default="mamba", choices=["mamba", "gpt"])
+    p.add_argument("--batches", default="1,8,16")
+    p.add_argument("--iters", type=int, default=30)
+    a = p.parse_args()
+    batches = [int(x) for x in a.batches.split(",")]
+
+    on_tpu = jax.default_backend() == "tpu"
+    ffm_tfm = 1 if a.arch == "mamba" else 0
+    cfg = GlobalConfig(FFM=ffm_tfm, TFM=ffm_tfm,
+                       use_pallas_scan=on_tpu, use_flash_attention=on_tpu,
+                       compute_dtype="bfloat16" if on_tpu else "float32")
+
+    model = BeamFuser(cfg)
+    T, H = cfg.seq_len, cfg.crop
+    rc = 2 if cfg.add_velocity else 1
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, T, H, H, 3)), jnp.zeros((1, T, H, H, 1)),
+        jnp.zeros((1, T, H, H, rc)), jnp.zeros((1, cfg.gps_len, 2)))
+
+    pred = Predictor(variables, cfg, batch_buckets=tuple(batches))
+    results = {"arch": a.arch, "backend": jax.default_backend()}
+    for b in batches:
+        r = pred.latency_benchmark(batch=b, iters=a.iters)
+        results[f"b{b}"] = r
+        results[f"b{b}"]["samples_per_sec"] = round(b / (r["p50_ms"] / 1e3), 2)
+        print(f"batch {b}: p50 {r['p50_ms']:.1f} ms  p90 {r['p90_ms']:.1f} ms"
+              f"  -> {results[f'b{b}']['samples_per_sec']} samples/s",
+              flush=True)
+
+    # steady-state pipelined throughput at the largest bucket: submit a
+    # window of requests before each sync, amortizing the tunnel latency
+    b = batches[-1]
+    args = (np.random.default_rng(0).uniform(0, 255, (b, T, H, H, 3))
+            .astype(np.float32),
+            np.zeros((b, T, H, H, 1), np.float32),
+            np.zeros((b, T, H, H, rc), np.float32),
+            np.zeros((b, cfg.gps_len, 2), np.float32))
+    dev_args = tuple(jnp.asarray(x) for x in args)
+    pred.predict(*args)  # compile
+    n_calls = 40
+    t0 = time.perf_counter()
+    outs = [pred._fwd(pred.variables, *dev_args) for _ in range(n_calls)]
+    _ = [np.asarray(o[0]) for o in outs]  # host sync at the end
+    dt = time.perf_counter() - t0
+    results["pipelined"] = {"batch": b, "calls": n_calls,
+                            "samples_per_sec": round(b * n_calls / dt, 2)}
+    print(f"pipelined batch {b}: {results['pipelined']['samples_per_sec']}"
+          " samples/s", flush=True)
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
