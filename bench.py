@@ -1,12 +1,19 @@
-"""Benchmark: fused 4-modal samples/sec/chip on the flagship MambaFuser
-train step (forward + backward + AdamW + EMA, batch sharded over all local
-devices).
+"""Benchmark: fused 4-modal samples/sec/chip on the flagship train step
+(forward + backward + AdamW + EMA, batch sharded over all local devices).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline: the reference MambaFuser trains at 14 min/epoch, batch 24, 2392
-(batch-6) batches/epoch on 6 GPUs (README_mine.md; BASELINE.md) ==
-598 * 24 samples / 840 s / 6 chips ~= 2.85 samples/sec/chip.
+Default arch is the GPT TransFuser — the model2_seq challenge winner
+(DBA 0.6671) and the BASELINE.json north-star model — with the Pallas
+flash-attention fusion stack.  DEEPSENSE_BENCH_ARCH=mamba benches the
+MambaFuser fork instead.
+
+Baselines are each arch's own best reference recipe (README_mine.md;
+BASELINE.md "Throughput / cost"), so vs_baseline is apples-to-apples:
+- GPT TransFuser retrain: 8 min/epoch, batch 24, 2392 (batch-6)
+  batches/epoch on 6 GPUs == 598 * 24 / 480 s / 6 chips ~= 4.98
+  samples/sec/chip.
+- MambaFuser: 14 min/epoch, same split == 2.85 samples/sec/chip.
 """
 
 import json
@@ -28,7 +35,7 @@ from deepsense6g_tii_tpu.train.steps import (make_multi_train_step,
                                              make_train_step)
 from deepsense6g_tii_tpu.utils.synth import make_synth_batch
 
-BASELINE_SAMPLES_PER_SEC_PER_CHIP = 2.85
+BASELINES = {"gpt": 4.98, "mamba": 2.85}   # samples/sec/chip, see docstring
 
 
 def _device_init_watchdog(timeout_s: float):
@@ -58,9 +65,9 @@ def main():
     n_chips = len(jax.devices())
     cancel()
     on_tpu = jax.default_backend() == "tpu"
-    # DEEPSENSE_BENCH_ARCH=gpt benches the GPT TransFuser (the 0.6671
-    # challenge winner, no Mamba) instead of the flagship MambaFuser
-    arch = os.environ.get("DEEPSENSE_BENCH_ARCH", "mamba")
+    # default: the GPT TransFuser (the 0.6671 challenge winner / north-star
+    # model); DEEPSENSE_BENCH_ARCH=mamba benches the MambaFuser fork
+    arch = os.environ.get("DEEPSENSE_BENCH_ARCH", "gpt")
     # measured per-chip batch optima on v5e (NOTES_NEXT_ROUND): Mamba 8 (16
     # OOMs by 20 MB even at K=1 + bf16-mu), GPT 16 (flash attention frees
     # the attention residuals; 90.9 vs 86.9 samples/s/chip at 8).
@@ -123,7 +130,8 @@ def main():
                   f"bs {B}, {K} step(s)/dispatch, {n_chips} chip(s))",
         "value": round(sps_chip, 3),
         "unit": "samples/sec/chip",
-        "vs_baseline": round(sps_chip / BASELINE_SAMPLES_PER_SEC_PER_CHIP, 2),
+        "vs_baseline": round(
+            sps_chip / BASELINES.get(arch, BASELINES["mamba"]), 2),
     }))
 
 
