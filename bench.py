@@ -90,7 +90,10 @@ def main():
                        use_flash_attention=(
                            on_tpu and arch == "gpt"
                            and os.environ.get("DEEPSENSE_BENCH_FLASH",
-                                              "1") != "0"))
+                                              "1") != "0"),
+                       # None = auto (hw PRNG on TPU); hash for the A/B
+                       flash_dropout_impl=os.environ.get(
+                           "DEEPSENSE_BENCH_FLASH_DROPOUT") or None)
     model = BeamFuser(cfg)
     batch = make_synth_batch(cfg, B)
 

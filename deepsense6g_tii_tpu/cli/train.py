@@ -91,6 +91,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--flash_attention", type=int, default=None,
                    help="Pallas flash attention for GPT fusion blocks "
                         "(--FFM 0); default: on when running on TPU")
+    p.add_argument("--flash_dropout_impl", type=str, default=None,
+                   choices=("hash", "hw"),
+                   help="in-kernel attention-dropout PRNG: hw = TPU "
+                        "hardware PRNG (fastest, chip-only stream), hash = "
+                        "counter hash (backend-reproducible); default auto")
     p.add_argument("--multihost", type=int, default=0,
                    help="jax.distributed.initialize() for multi-host DCN "
                         "training; same code, bigger ('data',) mesh")
@@ -122,6 +127,7 @@ def config_from_args(args):
         flash = jax.default_backend() == "tpu"
     return GlobalConfig(
         use_flash_attention=bool(flash),
+        flash_dropout_impl=getattr(args, "flash_dropout_impl", None),
         seq_len=args.seq_len,
         pred_len=args.pred_len,
         data_root=args.data_root,

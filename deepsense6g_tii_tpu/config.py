@@ -75,6 +75,11 @@ class GlobalConfig:
     # never materializes the 962x962 attention matrix; in-kernel prob
     # dropout) vs the einsum reference path — ops/flash_attention.py
     use_flash_attention: bool = False
+    # in-kernel attention-dropout PRNG: None = auto ("hw" — the TPU hardware
+    # PRNG — on a real TPU backend, the murmur-hash "hash" elsewhere).
+    # Force "hash" for a backend-independent dropout stream (exact jnp
+    # oracle, ~40-85% slower kernels at p=0.1 — tools/bench_flash.py).
+    flash_dropout_impl: Optional[str] = None
     # rematerialization policy: "none" | "fusion" (checkpoint the token-
     # fusion stages incl. scans) | "conv" (checkpoint the ResNet stages,
     # keep the scan activations stored — cheaper recompute per HBM saved)

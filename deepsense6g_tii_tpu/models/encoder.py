@@ -101,6 +101,7 @@ class FusionEncoder(nn.Module):
                 attn_pdrop=cfg.attn_pdrop,
                 resid_pdrop=cfg.resid_pdrop,
                 use_flash=cfg.use_flash_attention,
+                flash_dropout_impl=cfg.flash_dropout_impl,
                 d_state=cfg.d_state,
                 d_conv=cfg.d_conv,
                 expand=cfg.expand,

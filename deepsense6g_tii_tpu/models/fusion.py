@@ -47,6 +47,7 @@ class SelfAttention(nn.Module):
     attn_pdrop: float
     resid_pdrop: float
     use_flash: bool = False
+    flash_dropout_impl: str | None = None   # None | "hash" | "hw" (see ops)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -62,7 +63,7 @@ class SelfAttention(nn.Module):
             drop = 0.0 if deterministic else self.attn_pdrop
             rng = self.make_rng("dropout") if drop > 0.0 else None
             y = flash_mha(q, k, v, sm_scale=hs ** -0.5, dropout_p=drop,
-                          rng=rng)
+                          rng=rng, dropout_impl=self.flash_dropout_impl)
         else:
             att = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (hs ** -0.5)
             att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(x.dtype)
@@ -82,12 +83,14 @@ class GPTBlock(nn.Module):
     attn_pdrop: float
     resid_pdrop: float
     use_flash: bool = False
+    flash_dropout_impl: str | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         x = x + SelfAttention(self.n_embd, self.n_head, self.attn_pdrop,
                               self.resid_pdrop, use_flash=self.use_flash,
+                              flash_dropout_impl=self.flash_dropout_impl,
                               dtype=self.dtype, name="attn")(
             nn.LayerNorm(name="ln1")(x), deterministic)
         h = nn.LayerNorm(name="ln2")(x)
@@ -171,6 +174,7 @@ class TokenFusion(nn.Module):
     attn_pdrop: float = 0.1
     resid_pdrop: float = 0.1
     use_flash: bool = False
+    flash_dropout_impl: str | None = None
     # mamba params
     d_state: int = 16
     d_conv: int = 4
@@ -217,7 +221,9 @@ class TokenFusion(nn.Module):
             for i in range(self.n_layer):
                 x = GPTBlock(self.n_embd, self.n_head, self.block_exp,
                              self.attn_pdrop, self.resid_pdrop,
-                             use_flash=self.use_flash, dtype=self.dtype,
+                             use_flash=self.use_flash,
+                             flash_dropout_impl=self.flash_dropout_impl,
+                             dtype=self.dtype,
                              name=f"block{i}")(
                     x, deterministic)
         elif self.fusion_type == "mamba":

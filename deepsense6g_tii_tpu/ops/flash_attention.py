@@ -12,15 +12,31 @@ running-sum streaming reduction (O(T·D) HBM traffic, never materializing the
 T×T matrix) and a fused backward that recomputes the probability blocks.
 
 Attention-prob dropout cannot be applied outside a flash kernel (it acts on
-the normalized probabilities), so it is drawn *inside* from a counter-based
-hash PRNG: every (row, col) element's keep decision is a pure function of
-(global position, seed), so the backward regenerates bit-identical masks with
-zero residual storage, and the same function evaluated in plain jnp
-(:func:`dropout_scale_reference`) gives tests an exact oracle.  Following the
-flash-attention dropout algebra, the mask (scaled by 1/(1-p)) applies to the
-un-normalized exp terms of the accumulator while the softmax denominator
-accumulates the *undropped* sums — elementwise mask and the final row
-division commute.
+the normalized probabilities), so it is drawn *inside*, with two
+implementations selected by ``dropout_impl``:
+
+- ``"hash"`` — a counter-based murmur3-fmix32 hash: every (row, col)
+  element's keep decision is a pure function of (global position, seed), so
+  the backward regenerates bit-identical masks with zero residual storage,
+  and the same function evaluated in plain jnp
+  (:func:`dropout_scale_reference`) gives tests an exact oracle on any
+  backend.  Cost: ~11 VPU ops per T² element — measured 40-85% overhead on
+  the whole kernel (tools/bench_flash.py), because the kernel is VPU-bound
+  on T² elementwise work, not MXU-bound.
+- ``"hw"`` — the TPU's hardware PRNG (``pltpu.prng_seed`` /
+  ``prng_random_bits``), re-seeded per (bh, q-block, k-block) tile so the
+  forward and both backward kernels regenerate identical masks from their
+  own grid coordinates.  Same keep probability to 2^-24 resolution as the
+  hash path, at ~4 VPU ops per element.  Real-TPU only: the Pallas
+  interpreter has no PRNG, so correctness is pinned on the chip by
+  :func:`dropout_mask` (a kernel that exports the exact mask the attention
+  kernels draw) + the jnp oracle in tools/verify_flash_tpu.py.
+
+The default (``dropout_impl=None``) picks "hw" on a real TPU backend and
+"hash" elsewhere.  Either way, following the flash-attention dropout
+algebra, the mask (scaled by 1/(1-p)) applies to the un-normalized exp terms
+of the accumulator while the softmax denominator accumulates the *undropped*
+sums — elementwise mask and the final row division commute.
 
 Layout: q, k, v are (B, heads, T, head_dim).  T is padded to a multiple of
 ``block`` (default 512 — at the model's BH=32, T≈1k, D=128 sizes this keeps
@@ -35,6 +51,7 @@ construction.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -63,14 +80,37 @@ def _uniform_hash(ids: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
     return (x >> 8).astype(jnp.int32).astype(jnp.float32) * (2.0 ** -24)
 
 
-def _keep_scale_block(seed, bh, jq, jk, shape, t_pad, dropout_p):
+def _keep_scale_block(seed, bh, jq, jk, shape, t_pad, dropout_p,
+                      impl="hash"):
     """``shape``-sized dropout scale {0, 1/(1-p)} for tile (bh, jq, jk).
 
-    Element id = (bh·Tp + row)·Tp + col — position-global, so the forward
-    and both backward kernels regenerate identical bits from their own grid
-    coordinates/tile sizes.  (Tp is part of the id formula: the bit stream
-    is only reproducible for the same padded length, which fwd/bwd share.)
+    impl="hash": element id = (bh·Tp + row)·Tp + col — position-global, so
+    the forward and both backward kernels regenerate identical bits from
+    their own grid coordinates/tile sizes.  (Tp is part of the id formula:
+    the bit stream is only reproducible for the same padded length, which
+    fwd/bwd share.)
+
+    impl="hw": the TPU hardware PRNG, re-seeded per tile with
+    (seed, tile_id) where tile_id = (bh·nblk + jq)·nblk + jk — same tile
+    coordinates => same bit stream, so the three kernels agree without any
+    cross-kernel state.  (Mosaic caps prng_seed at 2 values, hence the
+    folded id; nblk = t_pad/block makes it collision-free.)  The keep
+    decision compares the top 24 bits against ceil(p·2^24), the exact
+    integer form of the hash path's ``u >= p`` on 24-bit uniforms —
+    identical keep probability, ~3x fewer VPU ops.  Real-TPU only (no
+    interpreter PRNG).
     """
+    if impl == "hw":
+        nblk = t_pad // shape[0]
+        pltpu.prng_seed(seed, (bh * nblk + jq) * nblk + jk)
+        raw = pltpu.prng_random_bits(shape)
+        # int32 bitcast + logical shift: Mosaic has no uint32->f32/int32
+        # value casts, and after >> 8 the value fits 24 bits (positive).
+        bits = jax.lax.shift_right_logical(
+            pltpu.bitcast(raw, jnp.int32), 8)
+        thresh = int(math.ceil(dropout_p * (1 << 24)))
+        keep = (bits >= thresh).astype(jnp.float32)
+        return keep * (1.0 / (1.0 - dropout_p))
     r = jq * shape[0] + jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     c = jk * shape[1] + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     ids = (bh.astype(jnp.uint32) * t_pad + r) * t_pad + c
@@ -109,7 +149,7 @@ def derive_seed(rng) -> jnp.ndarray:
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr, *, sm_scale, dropout_p, vlen, t_pad,
-                block):
+                block, dropout_impl):
     jk = pl.program_id(2)
 
     @pl.when(jk == 0)
@@ -141,7 +181,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     if dropout_p > 0.0:
         p = p * _keep_scale_block(seed_ref[0], pl.program_id(0),
                                   pl.program_id(1), jk, s.shape, t_pad,
-                                  dropout_p)
+                                  dropout_p, impl=dropout_impl)
     pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0],
                              (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -161,13 +201,13 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 
 def _mha_fwd_pallas(q, k, v, seed, sm_scale, dropout_p, vlen, block,
-                    interpret):
+                    interpret, dropout_impl):
     bh, t_pad, d = q.shape
     nblk = t_pad // block
     grid = (bh, nblk, nblk)
     kernel = functools.partial(_fwd_kernel, sm_scale=sm_scale,
                                dropout_p=dropout_p, vlen=vlen, t_pad=t_pad,
-                               block=block)
+                               block=block, dropout_impl=dropout_impl)
     o, lse = pl.pallas_call(
         kernel,
         grid=grid,
@@ -213,7 +253,8 @@ def _p_block(q, k, lse_rows, jk, *, sm_scale, vlen, block):
 
 
 def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref,
-               dq_ref, dq_scr, *, sm_scale, dropout_p, vlen, t_pad, block):
+               dq_ref, dq_scr, *, sm_scale, dropout_p, vlen, t_pad, block,
+               dropout_impl):
     jk = pl.program_id(2)
 
     @pl.when(jk == 0)
@@ -229,7 +270,7 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref,
     if dropout_p > 0.0:
         dpd = dpd * _keep_scale_block(seed_ref[0], pl.program_id(0),
                                       pl.program_id(1), jk, p.shape, t_pad,
-                                      dropout_p)
+                                      dropout_p, impl=dropout_impl)
     ds = p * (dpd - dvec_ref[0][:, :1]) * sm_scale
     dq_scr[...] = dq_scr[...] + jax.lax.dot_general(
         ds.astype(q.dtype), k, (((1,), (0,)), ((), ())),
@@ -242,7 +283,7 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref,
 
 def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref,
                 dk_ref, dv_ref, dk_scr, dv_scr,
-                *, sm_scale, dropout_p, vlen, t_pad, block):
+                *, sm_scale, dropout_p, vlen, t_pad, block, dropout_impl):
     jq = pl.program_id(2)
     jk = pl.program_id(1)
 
@@ -260,7 +301,8 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref,
                               preferred_element_type=jnp.float32)
     if dropout_p > 0.0:
         scale = _keep_scale_block(seed_ref[0], pl.program_id(0), jq, jk,
-                                  p.shape, t_pad, dropout_p)
+                                  p.shape, t_pad, dropout_p,
+                                  impl=dropout_impl)
         pd = p * scale
         dpd = dpd * scale
     else:
@@ -280,7 +322,8 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref,
 
 
 def _mha_bwd_pallas(q, k, v, o, lse, seed, do,
-                    sm_scale, dropout_p, vlen, block, interpret):
+                    sm_scale, dropout_p, vlen, block, interpret,
+                    dropout_impl):
     bh, t_pad, d = q.shape
     nblk = t_pad // block
     dvec = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
@@ -291,7 +334,7 @@ def _mha_bwd_pallas(q, k, v, o, lse, seed, do,
     dvec = jnp.broadcast_to(dvec[..., None], (bh, t_pad, 128))
 
     common = dict(sm_scale=sm_scale, dropout_p=dropout_p, vlen=vlen,
-                  t_pad=t_pad, block=block)
+                  t_pad=t_pad, block=block, dropout_impl=dropout_impl)
     row_spec = lambda sel: pl.BlockSpec((1, block, d), sel)
     vec_spec = lambda sel: pl.BlockSpec((1, block, 128), sel)
 
@@ -346,46 +389,63 @@ def _mha_bwd_pallas(q, k, v, o, lse, seed, do,
 # custom-vjp core + public wrapper
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _mha_core(q, k, v, seed, sm_scale, dropout_p, vlen, block, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _mha_core(q, k, v, seed, sm_scale, dropout_p, vlen, block, interpret,
+              dropout_impl):
     o, _ = _mha_fwd_pallas(q, k, v, seed, sm_scale, dropout_p, vlen, block,
-                           interpret)
+                           interpret, dropout_impl)
     return o
 
 
 def _mha_fwd_rule(q, k, v, seed, sm_scale, dropout_p, vlen, block,
-                  interpret):
+                  interpret, dropout_impl):
     o, lse = _mha_fwd_pallas(q, k, v, seed, sm_scale, dropout_p, vlen, block,
-                             interpret)
+                             interpret, dropout_impl)
     return o, (q, k, v, o, lse, seed)
 
 
-def _mha_bwd_rule(sm_scale, dropout_p, vlen, block, interpret, res, do):
+def _mha_bwd_rule(sm_scale, dropout_p, vlen, block, interpret,
+                  dropout_impl, res, do):
     q, k, v, o, lse, seed = res
     dq, dk, dv = _mha_bwd_pallas(q, k, v, o, lse, seed, do,
-                                 sm_scale, dropout_p, vlen, block, interpret)
+                                 sm_scale, dropout_p, vlen, block, interpret,
+                                 dropout_impl)
     return dq, dk, dv, np.zeros((1,), dtype=jax.dtypes.float0)
 
 
 _mha_core.defvjp(_mha_fwd_rule, _mha_bwd_rule)
 
 
+def resolve_dropout_impl(dropout_impl, interpret) -> str:
+    """None -> "hw" on a real (non-interpret) TPU backend, else "hash"."""
+    if dropout_impl is None:
+        return "hw" if (not interpret
+                        and jax.default_backend() == "tpu") else "hash"
+    if dropout_impl not in ("hash", "hw"):
+        raise ValueError(f"dropout_impl must be 'hash' or 'hw', "
+                         f"got {dropout_impl!r}")
+    return dropout_impl
+
+
 def flash_mha(q, k, v, *, sm_scale=None, dropout_p: float = 0.0, rng=None,
-              block: int = DEFAULT_BLOCK, interpret=None):
+              block: int = DEFAULT_BLOCK, interpret=None, dropout_impl=None):
     """Flash attention: softmax(q kᵀ · sm_scale) v, optional prob dropout.
 
     q, k, v: (B, heads, T, head_dim); any T (padded internally to a multiple
     of ``block``).  ``dropout_p`` > 0 requires ``rng`` (a PRNGKey) and
     applies iid dropout to the normalized attention probabilities — torch
     ``nn.Dropout`` on the attention matrix semantics (model2_seq.py:94-99)
-    from a counter-based hash PRNG (not the torch RNG stream).
-    ``interpret=None`` auto-selects interpreter mode off-TPU (CPU tests).
+    from an in-kernel PRNG (not the torch RNG stream).
+    ``interpret=None`` auto-selects interpreter mode off-TPU (CPU tests);
+    ``dropout_impl`` (None | "hash" | "hw") selects the in-kernel PRNG (see
+    module docstring) — None picks "hw" on a real TPU, "hash" elsewhere.
     """
     b, h, t, d = q.shape
     if sm_scale is None:
         sm_scale = float(d) ** -0.5
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    dropout_impl = resolve_dropout_impl(dropout_impl, interpret)
     t_pad = -(-t // block) * block
     pad = t_pad - t
 
@@ -401,5 +461,49 @@ def flash_mha(q, k, v, *, sm_scale=None, dropout_p: float = 0.0, rng=None,
     else:
         seed = jnp.zeros((1,), jnp.int32)
     o = _mha_core(prep(q), prep(k), prep(v), seed, float(sm_scale),
-                  float(dropout_p), t, int(block), bool(interpret))
+                  float(dropout_p), t, int(block), bool(interpret),
+                  dropout_impl)
     return o.reshape(b, h, t_pad, d)[:, :, :t]
+
+
+# ---------------------------------------------------------------------------
+# dropout-mask export (oracle for the "hw" path; sanity tie for "hash")
+# ---------------------------------------------------------------------------
+
+def _mask_kernel(seed_ref, m_ref, *, t_pad, block, dropout_p, dropout_impl):
+    m_ref[0] = _keep_scale_block(
+        seed_ref[0], pl.program_id(0), pl.program_id(1), pl.program_id(2),
+        (block, block), t_pad, dropout_p, impl=dropout_impl)
+
+
+def dropout_mask(seed, n_bh: int, t: int, dropout_p: float,
+                 block: int = DEFAULT_BLOCK, dropout_impl="hash",
+                 interpret=None):
+    """Export the exact (n_bh, t, t) dropout scale the attention kernels draw.
+
+    Runs :func:`_keep_scale_block` — the same code path the fwd/dq/dkv
+    kernels call — tile-by-tile over the same (bh, q-block, k-block) grid
+    coordinates and seeding.  With impl="hash" this equals
+    :func:`dropout_scale_reference` (tested in interpret mode); with
+    impl="hw" it is the only way to observe the hardware PRNG stream, making
+    it the oracle for on-chip verification (tools/verify_flash_tpu.py).
+    Test/verify tool only — materializes the full T×T matrix.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    t_pad = -(-t // block) * block
+    nblk = t_pad // block
+    seed = jnp.asarray(seed, jnp.int32).reshape((1,))
+    kernel = functools.partial(_mask_kernel, t_pad=t_pad, block=block,
+                               dropout_p=float(dropout_p),
+                               dropout_impl=dropout_impl)
+    m = pl.pallas_call(
+        kernel,
+        grid=(n_bh, nblk, nblk),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, block, block),
+                               lambda i, j, kk: (i, j, kk)),
+        out_shape=jax.ShapeDtypeStruct((n_bh, t_pad, t_pad), jnp.float32),
+        interpret=interpret,
+    )(seed)
+    return m[:, :t, :t]

@@ -218,3 +218,43 @@ class TestModuleIntegration:
         leaves = jax.tree_util.tree_leaves(grads)
         assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
         assert any(np.abs(np.asarray(g)).max() > 0 for g in leaves)
+
+
+class TestDropoutImpl:
+    """dropout_impl selection + the mask-export kernel.
+
+    The "hw" implementation (TPU hardware PRNG) cannot run in interpret
+    mode (the Pallas interpreter has no PRNG), so its numerics are pinned
+    on the real chip by tools/verify_flash_tpu.py via dropout_mask — here
+    we pin everything pinnable off-chip: the export kernel reproduces the
+    exact jnp oracle for "hash" (same code path the attention kernels
+    call), and the resolver picks "hash" off-TPU.
+    """
+
+    def test_mask_export_matches_reference(self):
+        from deepsense6g_tii_tpu.ops.flash_attention import dropout_mask
+        seed = derive_seed(jax.random.PRNGKey(5))
+        t, bh, p, block = 300, 3, 0.1, 128
+        m_kernel = dropout_mask(seed, bh, t, p, block=block,
+                                dropout_impl="hash", interpret=True)
+        m_ref = dropout_scale_reference(seed, bh, t, p, block=block)
+        np.testing.assert_array_equal(np.asarray(m_kernel), np.asarray(m_ref))
+
+    def test_resolver_auto_is_hash_off_tpu(self):
+        from deepsense6g_tii_tpu.ops.flash_attention import (
+            resolve_dropout_impl)
+        assert resolve_dropout_impl(None, True) == "hash"
+        if jax.default_backend() != "tpu":
+            assert resolve_dropout_impl(None, False) == "hash"
+        assert resolve_dropout_impl("hw", True) == "hw"
+        with pytest.raises(ValueError):
+            resolve_dropout_impl("bogus", True)
+
+    def test_explicit_hash_equals_default_off_tpu(self, rng):
+        q, k, v = _qkv(rng, t=70)
+        key = jax.random.PRNGKey(11)
+        o_default = flash_mha(q, k, v, dropout_p=0.2, rng=key, block=128)
+        o_hash = flash_mha(q, k, v, dropout_p=0.2, rng=key, block=128,
+                           dropout_impl="hash")
+        np.testing.assert_array_equal(np.asarray(o_default),
+                                      np.asarray(o_hash))

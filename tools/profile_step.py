@@ -37,11 +37,12 @@ def main():
     # mirror bench.py EXACTLY — same env knobs, same config, same host-side
     # batch construction and init — so the breakdown describes the program
     # bench.py measures and the persistent jit cache is shared with it
+    arch = os.environ.get("DEEPSENSE_BENCH_ARCH", "gpt")
+    default_b = (16 if arch == "gpt" else 8) if on_tpu else 1
     B = (int(sys.argv[1]) if len(sys.argv) > 1
          else int(os.environ.get("DEEPSENSE_BENCH_B",
-                                 8 if on_tpu else 1))) * n_chips
-    K = int(os.environ.get("DEEPSENSE_BENCH_K", "1"))
-    arch = os.environ.get("DEEPSENSE_BENCH_ARCH", "mamba")
+                                 default_b))) * n_chips
+    K = int(os.environ.get("DEEPSENSE_BENCH_K", "8" if on_tpu else "1"))
     cfg = GlobalConfig(use_pallas_scan=on_tpu,
                        compute_dtype="bfloat16" if on_tpu else "float32",
                        remat=os.environ.get("DEEPSENSE_BENCH_REMAT", "none"),
@@ -52,7 +53,9 @@ def main():
                        use_flash_attention=(
                            on_tpu and arch == "gpt"
                            and os.environ.get("DEEPSENSE_BENCH_FLASH",
-                                              "1") != "0"))
+                                              "1") != "0"),
+                       flash_dropout_impl=os.environ.get(
+                           "DEEPSENSE_BENCH_FLASH_DROPOUT") or None)
     model = BeamFuser(cfg)
     batch = make_synth_batch(cfg, B)
 
