@@ -100,6 +100,17 @@ def _keep_scale_block(seed, bh, jq, jk, shape, t_pad, dropout_p,
     identical keep probability, ~3x fewer VPU ops.  Real-TPU only (no
     interpreter PRNG).
     """
+    keep = _keep_block(seed, bh, jq, jk, shape, t_pad, dropout_p, impl)
+    return keep.astype(jnp.float32) * (1.0 / (1.0 - dropout_p))
+
+
+def _keep_block(seed, bh, jq, jk, shape, t_pad, dropout_p, impl):
+    """Boolean keep mask for tile (bh, jq, jk) — see :func:`_keep_scale_block`.
+
+    The attention kernels consume the boolean directly (``jnp.where(keep,
+    x, 0)``) and fold the 1/(1-p) scale into the much smaller (block, D)
+    v / dO tiles — one select per T² element instead of cast+mul+mul.
+    """
     if impl == "hw":
         nblk = t_pad // shape[0]
         pltpu.prng_seed(seed, (bh * nblk + jq) * nblk + jk)
@@ -109,14 +120,12 @@ def _keep_scale_block(seed, bh, jq, jk, shape, t_pad, dropout_p,
         bits = jax.lax.shift_right_logical(
             pltpu.bitcast(raw, jnp.int32), 8)
         thresh = int(math.ceil(dropout_p * (1 << 24)))
-        keep = (bits >= thresh).astype(jnp.float32)
-        return keep * (1.0 / (1.0 - dropout_p))
+        return bits >= thresh
     r = jq * shape[0] + jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     c = jk * shape[1] + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     ids = (bh.astype(jnp.uint32) * t_pad + r) * t_pad + c
     u = _uniform_hash(ids, seed)
-    keep = (u >= dropout_p).astype(jnp.float32)
-    return keep * (1.0 / (1.0 - dropout_p))
+    return u >= dropout_p
 
 
 def dropout_scale_reference(seed, n_bh: int, t: int, dropout_p: float,
@@ -265,12 +274,15 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref,
     k = k_ref[0]
     p = _p_block(q, k, lse_ref[0], jk, sm_scale=sm_scale, vlen=vlen,
                  block=block)
-    dpd = jax.lax.dot_general(do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+    v = v_ref[0]
+    if dropout_p > 0.0:
+        v = v * jnp.asarray(1.0 / (1.0 - dropout_p), v.dtype)
+    dpd = jax.lax.dot_general(do_ref[0], v, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
     if dropout_p > 0.0:
-        dpd = dpd * _keep_scale_block(seed_ref[0], pl.program_id(0),
-                                      pl.program_id(1), jk, p.shape, t_pad,
-                                      dropout_p, impl=dropout_impl)
+        keep = _keep_block(seed_ref[0], pl.program_id(0), pl.program_id(1),
+                           jk, p.shape, t_pad, dropout_p, dropout_impl)
+        dpd = jnp.where(keep, dpd, 0.0)
     ds = p * (dpd - dvec_ref[0][:, :1]) * sm_scale
     dq_scr[...] = dq_scr[...] + jax.lax.dot_general(
         ds.astype(q.dtype), k, (((1,), (0,)), ((), ())),
@@ -297,18 +309,25 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref,
     do = do_ref[0]
     p = _p_block(q, k, lse_ref[0], jk, sm_scale=sm_scale, vlen=vlen,
                  block=block)
-    dpd = jax.lax.dot_general(do, v_ref[0], (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
     if dropout_p > 0.0:
-        scale = _keep_scale_block(seed_ref[0], pl.program_id(0), jq, jk,
-                                  p.shape, t_pad, dropout_p,
-                                  impl=dropout_impl)
-        pd = p * scale
-        dpd = dpd * scale
+        # fold 1/(1-p) into the (BLK, D) dO and v tiles (see _fwd_kernel);
+        # dv = (keep·p)ᵀ (c·dO) and dpd = dO (c·v)ᵀ masked by keep — the
+        # same math as scaling the (BLK, BLK) tiles, c x fewer multiplies
+        c = jnp.asarray(1.0 / (1.0 - dropout_p), do.dtype)
+        keep = _keep_block(seed_ref[0], pl.program_id(0), jq, jk,
+                           p.shape, t_pad, dropout_p, dropout_impl)
+        pd = jnp.where(keep, p, 0.0)
+        dpd = jax.lax.dot_general(do, v_ref[0] * c, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dpd = jnp.where(keep, dpd, 0.0)
+        do_for_dv = do * c
     else:
         pd = p
+        dpd = jax.lax.dot_general(do, v_ref[0], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        do_for_dv = do
     dv_scr[...] = dv_scr[...] + jax.lax.dot_general(
-        pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        pd.astype(do.dtype), do_for_dv, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     ds = p * (dpd - dvec_ref[0][:, :1]) * sm_scale
     dk_scr[...] = dk_scr[...] + jax.lax.dot_general(
