@@ -111,5 +111,6 @@ ok &= check_mask_export()
 ok &= check(2, 4, 962, 128, 0.1, jnp.float32, 5e-4, impl="hw")
 ok &= check(2, 4, 962, 16, 0.1, jnp.float32, 5e-4, impl="hw")  # small D
 ok &= check(1, 2, 512, 128, 0.1, jnp.float32, 5e-4, impl="hw")  # no tail
+ok &= check(1, 4, 1922, 128, 0.1, jnp.float32, 5e-4, impl="hw")  # 30to5 T
 print("VERIFY", "PASS" if ok else "FAIL")
 raise SystemExit(0 if ok else 1)
