@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="optimizer steps fused into one device dispatch "
                         "(lax.scan; 1 = reference-style per-batch)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="gradient-accumulation microbatches per optimizer "
+                        "step (activation memory scales with "
+                        "batch/grad_accum; batch must divide evenly)")
     p.add_argument("--opt_mu_dtype", type=str, default=None,
                    choices=["bfloat16", "float32"],
                    help="Adam first-moment storage dtype (default f32 = "
@@ -214,7 +218,8 @@ def main(argv=None) -> int:
         ema=bool(args.ema), temp_coef=bool(args.temp_coef),
         load_previous_best=bool(args.load_previous_best),
         finetune=bool(args.finetune), clip_grad_norm=args.grad_clip,
-        steps_per_dispatch=args.steps_per_dispatch)
+        steps_per_dispatch=args.steps_per_dispatch,
+        grad_accum=getattr(args, "grad_accum", 1))
 
     model = BeamFuser(cfg)
     engine = Engine(model, cfg, opts)

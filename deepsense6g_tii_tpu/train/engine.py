@@ -66,6 +66,14 @@ class TrainOptions:
     # padded batches fall back to single-step dispatches.  Trajectory
     # equality with 1 is pinned by tests (TestTrainStep/TestEngineMultiStep).
     steps_per_dispatch: int = 1
+    # gradient accumulation: forward/backward over K microbatches (batch
+    # rows [i::K], scanned), ONE exactly-combined optimizer/EMA update —
+    # activation memory scales with batch/K for effective batches that
+    # don't fit at once.  Requires batch % (K * n_devices) == 0.  BN stats
+    # chain per microbatch (standard grad-accum semantics); exactness vs
+    # the manual weighted-average oracle is pinned by
+    # tests/test_optimizer.py::TestGradAccum.
+    grad_accum: int = 1
 
 
 class Engine:
@@ -108,7 +116,7 @@ class Engine:
         self.tx = make_optimizer(mu_dtype=cfg.opt_mu_dtype)
         step_kw = dict(loss_name=opts.loss, temp_coef=opts.temp_coef,
                        use_ema=opts.ema, clip_grad_norm=opts.clip_grad_norm,
-                       rng_seed=opts.seed)
+                       rng_seed=opts.seed, grad_accum=opts.grad_accum)
         self.train_step = make_train_step(model, cfg, self.tx, **step_kw)
         self.multi_train_step = (
             make_multi_train_step(model, cfg, self.tx, **step_kw)

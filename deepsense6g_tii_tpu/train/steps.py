@@ -54,9 +54,26 @@ def _make_step_body(model, cfg: GlobalConfig, tx,
                     use_ema: bool = False,
                     ema_decay: float = 0.999,
                     clip_grad_norm: Optional[float] = None,
-                    rng_seed: int = 100):
+                    rng_seed: int = 100,
+                    grad_accum: int = 1):
     """Unjitted (state, batch, lr) -> (state, metrics) train-step body,
-    shared by the single-step and multi-step (scan) wrappers."""
+    shared by the single-step and multi-step (scan) wrappers.
+
+    ``grad_accum`` K > 1 runs the forward/backward over K microbatches
+    (``lax.scan``) and applies ONE optimizer/EMA update on the exactly
+    combined gradient — activation memory scales with B/K, enabling
+    effective batches that do not fit at once.  Exactness: each
+    microbatch's loss is a weighted mean (losses.py ``_weighted_mean``),
+    so the full-batch gradient is the d_i-weighted average of microbatch
+    gradients, d_i = that microbatch's weight total (its row count when
+    unpadded — equal d_i then reduce to a plain average).  BatchNorm
+    statistics chain through the K microbatches (K sequential
+    momentum-0.9 updates; batch mean/var are per-microbatch, the standard
+    grad-accum BN semantics).  Microbatch i takes batch rows [i::K], so
+    each one stays evenly sharded over the ('data',) mesh axis — requires
+    batch % (K * n_devices) == 0.  Dropout draws a fresh stream per
+    microbatch (fold_in(step, i)).
+    """
 
     base_rng = jax.random.PRNGKey(rng_seed)
 
@@ -72,16 +89,7 @@ def _make_step_body(model, cfg: GlobalConfig, tx,
         loss = _compute_loss(cfg, loss_name, temp_coef, logits, batch)
         return loss, (logits, aux["batch_stats"])
 
-    def train_step(state: TrainState, batch, lr):
-        rngs = {"dropout": jax.random.fold_in(base_rng, state.step)}
-        if cfg.modality_missing is not None \
-                and cfg.modality_missing_type == "randlike":
-            rngs["missing"] = jax.random.fold_in(base_rng, state.step + 1)
-        if "rebuild_feats" in batch:
-            rngs["rebuild"] = jax.random.fold_in(base_rng, state.step + 2)
-
-        (loss, (logits, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats, batch, rngs)
+    def _apply_update(state, grads, new_stats, loss, logits, lr):
         if clip_grad_norm is not None:
             gnorm = optax.global_norm(grads)
             scale = jnp.minimum(1.0, clip_grad_norm / (gnorm + 1e-6))
@@ -104,7 +112,74 @@ def _make_step_body(model, cfg: GlobalConfig, tx,
         ranks = jnp.argsort(logits, axis=-1, descending=True)
         return new_state, {"loss": loss, "ranks": ranks}
 
-    return train_step
+    def train_step(state: TrainState, batch, lr):
+        rngs = {"dropout": jax.random.fold_in(base_rng, state.step)}
+        if cfg.modality_missing is not None \
+                and cfg.modality_missing_type == "randlike":
+            rngs["missing"] = jax.random.fold_in(base_rng, state.step + 1)
+        if "rebuild_feats" in batch:
+            rngs["rebuild"] = jax.random.fold_in(base_rng, state.step + 2)
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch, rngs)
+        return _apply_update(state, grads, new_stats, loss, logits, lr)
+
+    if grad_accum <= 1:
+        return train_step
+
+    K = int(grad_accum)
+
+    def train_step_accum(state: TrainState, batch, lr):
+        b = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        if b % K:
+            raise ValueError(
+                f"grad_accum={K} requires the batch ({b}) to split evenly")
+
+        def split(x):
+            # rows [i::K] per microbatch: the sharded batch axis factors as
+            # (b//K, K) with the sharding on the major dim, so every device
+            # keeps b/(K*n_dev) rows of every microbatch (no resharding)
+            return x.reshape(b // K, K, *x.shape[1:]).swapaxes(0, 1)
+
+        micro = jax.tree_util.tree_map(split, batch)
+        drop_rng = jax.random.fold_in(base_rng, state.step)
+        miss_rng = jax.random.fold_in(base_rng, state.step + 1)
+        reb_rng = jax.random.fold_in(base_rng, state.step + 2)
+
+        def f(carry, xs):
+            stats, gsum, wsum, lsum = carry
+            mb, i = xs
+            rngs = {"dropout": jax.random.fold_in(drop_rng, i)}
+            if cfg.modality_missing is not None \
+                    and cfg.modality_missing_type == "randlike":
+                rngs["missing"] = jax.random.fold_in(miss_rng, i)
+            if "rebuild_feats" in mb:
+                rngs["rebuild"] = jax.random.fold_in(reb_rng, i)
+            (loss, (logits, stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, stats, mb, rngs)
+            # d = the microbatch's _weighted_mean denominator, up to a
+            # constant factor shared by all microbatches (equal row counts;
+            # the pred_len flatten multiplies every d equally) — so the
+            # d-weighted average below equals the full-batch gradient
+            d = (jnp.maximum(mb["valid"].astype(jnp.float32).sum(), 0.0)
+                 if "valid" in mb else jnp.asarray(1.0, jnp.float32))
+            gsum = jax.tree_util.tree_map(lambda a, g: a + d * g, gsum, grads)
+            return (stats, gsum, wsum + d, lsum + d * loss), logits
+
+        gzero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        carry0 = (state.batch_stats, gzero, jnp.asarray(0.0, jnp.float32),
+                  jnp.asarray(0.0, jnp.float32))
+        (new_stats, gsum, wsum, lsum), logits_k = jax.lax.scan(
+            f, carry0, (micro, jnp.arange(K)))
+        denom = jnp.maximum(wsum, 1e-9)
+        grads = jax.tree_util.tree_map(lambda g: g / denom, gsum)
+        loss = lsum / denom
+        # inverse of split: (K, b//K, ...)[i, j] is batch row j*K + i
+        logits = jnp.swapaxes(logits_k, 0, 1).reshape(
+            b, *logits_k.shape[2:])
+        return _apply_update(state, grads, new_stats, loss, logits, lr)
+
+    return train_step_accum
 
 
 def make_train_step(model, cfg: GlobalConfig, tx, **kw):

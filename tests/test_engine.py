@@ -452,6 +452,24 @@ class TestFlattenedOptimizer:
             np.testing.assert_allclose(a, b, rtol=0, atol=5e-5)
 
 
+class TestEngineGradAccum:
+    def test_train_with_grad_accum(self, tmp_path, rng):
+        """Engine + grad_accum=2: microbatched steps train end-to-end,
+        including a ragged batch (padded to the device count, valid-masked
+        rows d-weighted out of the combined gradient)."""
+        opts = TrainOptions(logdir=str(tmp_path / "run"), epochs=2, lr=1e-3,
+                            scheduler=False, grad_accum=2)
+        os.makedirs(opts.logdir, exist_ok=True)
+        eng = Engine(TinyFuser(CFG), CFG, opts, mesh=make_mesh())
+        loader = [make_batch(rng, B=8), make_batch(rng, B=8),
+                  make_batch(rng, B=6)]      # ragged -> padded to 8
+        eng.train(loader)
+        eng.train(loader)
+        assert int(eng.state.step) == 6
+        assert np.isfinite(eng.train_loss).all()
+        assert len(eng.train_loss) == 2
+
+
 class TestStagedPrefetch:
     def test_preserves_order_and_propagates_errors(self, tmp_path, rng):
         opts = TrainOptions(logdir=str(tmp_path / "run"), prefetch=2)
