@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -340,6 +341,95 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref,
         dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
+def _merged_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                       dvec_ref, dq_ref, dk_ref, dv_ref,
+                       dqacc_scr, dk_scr, dv_scr,
+                       *, sm_scale, dropout_p, vlen, t_pad, block,
+                       dropout_impl):
+    """Single-pass backward: dq + dk + dv from ONE recompute of each tile.
+
+    The split kernels (:func:`_dq_kernel` / :func:`_dkv_kernel`) each
+    recompute s = q·kᵀ, P = exp(s − lse), the dropout mask, dpd and ds for
+    every (q-block, k-block) tile — the whole T² recompute runs twice per
+    backward.  Here one kernel walks the (bh, k-block, q-block) grid once:
+    dk/dv accumulate over the inner q sweep exactly as in `_dkv_kernel`,
+    while dq accumulates across the *outer* k iterations in a persistent
+    (nblk, block, d) f32 VMEM scratch (TPU grids are sequential, scratch
+    survives grid steps), written out on the last k iteration.  Same
+    operations in the same order as the split path — numerics identical.
+    The dq output tile (i, jq) is also visited (and written back as stale
+    garbage) on non-final k iterations; the final visit overwrites it.
+    """
+    jk = pl.program_id(1)
+    jq = pl.program_id(2)
+
+    @pl.when((jk == 0) & (jq == 0))
+    def _():
+        dqacc_scr[...] = jnp.zeros_like(dqacc_scr)
+
+    @pl.when(jq == 0)
+    def _():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    do = do_ref[0]
+    p = _p_block(q, k, lse_ref[0], jk, sm_scale=sm_scale, vlen=vlen,
+                 block=block)
+    if dropout_p > 0.0:
+        # same factoring as _dkv_kernel: fold 1/(1-p) into the (BLK, D)
+        # v / dO tiles, mask the (BLK, BLK) tiles with one select each
+        c = jnp.asarray(1.0 / (1.0 - dropout_p), do.dtype)
+        keep = _keep_block(seed_ref[0], pl.program_id(0), jq, jk,
+                           p.shape, t_pad, dropout_p, dropout_impl)
+        pd = jnp.where(keep, p, 0.0)
+        dpd = jax.lax.dot_general(do, v_ref[0] * c, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dpd = jnp.where(keep, dpd, 0.0)
+        do_for_dv = do * c
+    else:
+        pd = p
+        dpd = jax.lax.dot_general(do, v_ref[0], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        do_for_dv = do
+    dv_scr[...] = dv_scr[...] + jax.lax.dot_general(
+        pd.astype(do.dtype), do_for_dv, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = p * (dpd - dvec_ref[0][:, :1]) * sm_scale
+    dk_scr[...] = dk_scr[...] + jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dqacc_scr[jq] = dqacc_scr[jq] + jax.lax.dot_general(
+        ds.astype(q.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(jk == pl.num_programs(1) - 1)
+    def _():
+        dq_ref[0] = dqacc_scr[jq].astype(dq_ref.dtype)
+
+    @pl.when(jq == pl.num_programs(2) - 1)
+    def _():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+# dq accumulator budget for the merged backward: a (t_pad, d) f32 scratch
+# must stay a small slice of the ~16 MB VMEM next to the tile buffers.
+_MERGED_DQ_BYTES = 4 * 1024 * 1024
+
+
+def _bwd_mode(t_pad: int, d: int) -> str:
+    """DEEPSENSE_FLASH_BWD = auto (default) | merged | split."""
+    mode = os.environ.get("DEEPSENSE_FLASH_BWD", "auto")
+    if mode not in ("auto", "merged", "split"):
+        raise ValueError(f"DEEPSENSE_FLASH_BWD must be auto|merged|split, "
+                         f"got {mode!r}")
+    if mode != "auto":
+        return mode
+    return "merged" if t_pad * d * 4 <= _MERGED_DQ_BYTES else "split"
+
+
 def _mha_bwd_pallas(q, k, v, o, lse, seed, do,
                     sm_scale, dropout_p, vlen, block, interpret,
                     dropout_impl):
@@ -356,6 +446,39 @@ def _mha_bwd_pallas(q, k, v, o, lse, seed, do,
                   t_pad=t_pad, block=block, dropout_impl=dropout_impl)
     row_spec = lambda sel: pl.BlockSpec((1, block, d), sel)
     vec_spec = lambda sel: pl.BlockSpec((1, block, 128), sel)
+
+    if _bwd_mode(t_pad, d) == "merged":
+        # one (bh, k-block, q-block) sweep produces all three gradients
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_merged_bwd_kernel, **common),
+            grid=(bh, nblk, nblk),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),               # seed
+                row_spec(lambda i, kk, j: (i, j, 0)),                # q
+                row_spec(lambda i, kk, j: (i, kk, 0)),               # k
+                row_spec(lambda i, kk, j: (i, kk, 0)),               # v
+                row_spec(lambda i, kk, j: (i, j, 0)),                # do
+                vec_spec(lambda i, kk, j: (i, j, 0)),                # lse
+                vec_spec(lambda i, kk, j: (i, j, 0)),                # dvec
+            ],
+            out_specs=[
+                row_spec(lambda i, kk, j: (i, j, 0)),                # dq
+                row_spec(lambda i, kk, j: (i, kk, 0)),               # dk
+                row_spec(lambda i, kk, j: (i, kk, 0)),               # dv
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, t_pad, d), q.dtype),
+                jax.ShapeDtypeStruct((bh, t_pad, d), k.dtype),
+                jax.ShapeDtypeStruct((bh, t_pad, d), v.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((nblk, block, d), jnp.float32),  # dq accumulator
+                pltpu.VMEM((block, d), jnp.float32),
+                pltpu.VMEM((block, d), jnp.float32),
+            ],
+            interpret=interpret,
+        )(seed, q, k, v, do, lse, dvec)
+        return dq, dk, dv
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, **common),

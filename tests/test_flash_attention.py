@@ -72,6 +72,41 @@ class TestBackward:
                 err_msg=f"d{name} mismatch")
 
 
+class TestBwdImpl:
+    """The merged single-pass backward must equal the split two-kernel
+    backward — same dot_generals in the same order, so tolerances are
+    tight (f32, interpret mode)."""
+
+    @pytest.mark.parametrize("t,drop", [(70, 0.0), (200, 0.3), (256, 0.1)])
+    def test_merged_equals_split(self, rng, t, drop, monkeypatch):
+        q, k, v = _qkv(rng, t=t)
+        sm = q.shape[-1] ** -0.5
+        w = jnp.asarray(rng.normal(size=q.shape), jnp.float32)
+        key = jax.random.PRNGKey(3)
+
+        def loss(q, k, v):
+            return jnp.sum(flash_mha(q, k, v, sm_scale=sm, dropout_p=drop,
+                                     rng=key if drop else None,
+                                     block=128, interpret=True) * w)
+
+        grads = {}
+        for mode in ("merged", "split"):
+            monkeypatch.setenv("DEEPSENSE_FLASH_BWD", mode)
+            grads[mode] = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(grads["merged"], grads["split"], "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7,
+                                       err_msg=f"d{name} mismatch")
+
+    def test_bad_mode_rejected(self, rng, monkeypatch):
+        monkeypatch.setenv("DEEPSENSE_FLASH_BWD", "bogus")
+        q, k, v = _qkv(rng, t=64)
+        w = jnp.ones_like(q)
+        with pytest.raises(ValueError, match="DEEPSENSE_FLASH_BWD"):
+            jax.grad(lambda q: jnp.sum(
+                flash_mha(q, k, v, block=128, interpret=True) * w))(q)
+
+
 class TestDropout:
     def test_forward_matches_masked_reference(self, rng):
         b, h, t, p = 1, 2, 200, 0.3
