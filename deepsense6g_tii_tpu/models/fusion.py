@@ -31,6 +31,27 @@ from ..ops.mamba import Mamba
 _DENSE_INIT = nn.initializers.normal(stddev=0.02)  # GPT _init_weights
 
 
+class _LinearParams(nn.Module):
+    """Declares an nn.Dense-shaped {kernel, bias} param pair WITHOUT applying
+    it, so callers can concatenate several projections into one fused matmul.
+
+    Same scope naming, shapes, and initializers as
+    ``nn.Dense(features, kernel_init=_DENSE_INIT)`` — checkpoints and the
+    torch import/export (models/checkpoint_import.py:85-89) see an identical
+    tree, and init draws are identical (param RNG folds over the scope path).
+    """
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", _DENSE_INIT,
+                            (self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class SelfAttention(nn.Module):
     """Unmasked multi-head self-attention (model2_seq.py:74-110).
 
@@ -54,11 +75,22 @@ class SelfAttention(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         B, T, C = x.shape
         hs = C // self.n_head
-        dense = lambda name: nn.Dense(C, kernel_init=_DENSE_INIT,
-                                      dtype=self.dtype, name=name)
-        q = dense("query")(x).reshape(B, T, self.n_head, hs).transpose(0, 2, 1, 3)
-        k = dense("key")(x).reshape(B, T, self.n_head, hs).transpose(0, 2, 1, 3)
-        v = dense("value")(x).reshape(B, T, self.n_head, hs).transpose(0, 2, 1, 3)
+        # q/k/v as ONE fused [C, 3C] matmul: the per-stage widths (64..512)
+        # leave MXU lanes idle at N=C, and one dot also consolidates the
+        # backward dgrad/wgrad dots 3->1.  Params stay three separate
+        # {kernel, bias} pairs (reference/torch-port layout, model2_seq.py
+        # 74-110); concatenation happens at apply time, so numerics per
+        # output column are identical to three separate dots.
+        wq, bq = _LinearParams(C, C, name="query")()
+        wk, bk = _LinearParams(C, C, name="key")()
+        wv, bv = _LinearParams(C, C, name="value")()
+        w_qkv = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
+        b_qkv = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
+        qkv = x.astype(self.dtype) @ w_qkv + b_qkv
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, T, self.n_head, hs).transpose(0, 2, 1, 3)
+        k = k.reshape(B, T, self.n_head, hs).transpose(0, 2, 1, 3)
+        v = v.reshape(B, T, self.n_head, hs).transpose(0, 2, 1, 3)
         if self.use_flash:
             drop = 0.0 if deterministic else self.attn_pdrop
             rng = self.make_rng("dropout") if drop > 0.0 else None
@@ -70,7 +102,8 @@ class SelfAttention(nn.Module):
             att = nn.Dropout(self.attn_pdrop)(att, deterministic=deterministic)
             y = jnp.einsum("bhqk,bhkd->bhqd", att, v)
         y = y.transpose(0, 2, 1, 3).reshape(B, T, C)
-        y = dense("proj")(y)
+        y = nn.Dense(C, kernel_init=_DENSE_INIT, dtype=self.dtype,
+                     name="proj")(y)
         return nn.Dropout(self.resid_pdrop)(y, deterministic=deterministic)
 
 
