@@ -67,6 +67,65 @@ def build_cache(dataset, cache_dir: str, num_workers: int = 16) -> str:
     return cache_dir
 
 
+class CachedBatchLoader:
+    """Batch iterator straight from the memmap cache — the production hot
+    path for epochs after the first.
+
+    ``DataLoader(CachedDataset(dir))`` costs three host copies per sample
+    (memmap row -> float32 convert -> collate re-stack) plus a thread-pool
+    round-trip; on a host with few cores that chain, not the device, bounds
+    training throughput.  This loader does ONE fancy-index gather per
+    modality per batch and keeps the cache's float16 storage dtype, so host
+    memory traffic AND the host->device transfer are less than a third of
+    the classic path's bytes.  The jitted train step upcasts to float32 on
+    device (train/steps.py), which is value-exact, so the training
+    trajectory is identical (pinned by tests/test_data.py).
+
+    Shuffle order matches ``DataLoader(shuffle=True)`` with the same seed
+    (same per-epoch permutation), so the two paths are interchangeable
+    mid-run.  Reference analog: the 8-worker torch DataLoader that
+    re-decodes JPEG/PLY every epoch (train2_seq.py:531-533).
+    """
+
+    def __init__(self, cache_dir: str, batch_size: int, shuffle: bool = False,
+                 drop_last: bool = False, seed: int = 100):
+        with open(os.path.join(cache_dir, _MANIFEST)) as f:
+            m = json.load(f)
+        self.n = m["n"]
+        self.has_labels = m["has_labels"]
+        self.arrays: Dict[str, np.ndarray] = {
+            k: np.load(os.path.join(cache_dir, f"{k}.npy"), mmap_mode="r")
+            for k in m["specs"]}
+        if self.has_labels:
+            self.beamidx = np.load(os.path.join(cache_dir, "beamidx.npy"))
+        with open(os.path.join(cache_dir, "scenario.json")) as f:
+            self.scenarios = np.asarray(json.load(f))
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        if self.drop_last:
+            return self.n // self.batch_size
+        return (self.n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        self.epoch += 1
+        idx = np.arange(self.n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        for b in range(len(self)):
+            sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
+            out = {k: v[sel] for k, v in self.arrays.items()}
+            out["scenario"] = self.scenarios[sel]
+            if self.has_labels:
+                out["beamidx"] = self.beamidx[sel]
+            yield out
+
+
 class CachedDataset:
     """Serves pre-featurized samples from the memmap cache (float32 out)."""
 

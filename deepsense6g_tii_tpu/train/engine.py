@@ -50,6 +50,10 @@ class TrainOptions:
     loss: str = "focal"              # 'focal' | 'ce'
     scheduler: bool = True
     ema: bool = False
+    # shadow-weight decay (reference hard-codes 0.999, train2_seq.py:592);
+    # configurable so short runs (e.g. tools/dba_regression.py) can use an
+    # EMA horizon that fits their step count
+    ema_decay: float = 0.999
     temp_coef: bool = True
     load_previous_best: bool = False
     finetune: bool = False
@@ -115,7 +119,8 @@ class Engine:
 
         self.tx = make_optimizer(mu_dtype=cfg.opt_mu_dtype)
         step_kw = dict(loss_name=opts.loss, temp_coef=opts.temp_coef,
-                       use_ema=opts.ema, clip_grad_norm=opts.clip_grad_norm,
+                       use_ema=opts.ema, ema_decay=opts.ema_decay,
+                       clip_grad_norm=opts.clip_grad_norm,
                        rng_seed=opts.seed, grad_accum=opts.grad_accum)
         self.train_step = make_train_step(model, cfg, self.tx, **step_kw)
         self.multi_train_step = (

@@ -27,6 +27,17 @@ def _model_inputs(batch: Dict[str, jnp.ndarray]):
     return (batch["image"], batch["lidar"], batch["radar"], batch["gps"])
 
 
+def _upcast_f16(batch):
+    """float16-stored batches (data/cache.py::CachedBatchLoader) -> float32
+    on device.  f16 -> f32 is value-exact, so the step math is identical to
+    a host-upcast batch while the host copies and the host->device transfer
+    stay at half the bytes.  No-op for float32 batches (same compiled
+    program as before for them)."""
+    return jax.tree_util.tree_map(
+        lambda v: v.astype(jnp.float32) if v.dtype == jnp.float16 else v,
+        batch)
+
+
 def _compute_loss(cfg: GlobalConfig, loss_name: str, temp_coef: bool,
                   logits, batch):
     """Loss dispatch mirroring train2_seq.py:89-92,121-124.
@@ -78,6 +89,7 @@ def _make_step_body(model, cfg: GlobalConfig, tx,
     base_rng = jax.random.PRNGKey(rng_seed)
 
     def loss_fn(params, batch_stats, batch, rngs):
+        batch = _upcast_f16(batch)
         variables = {"params": params, "batch_stats": batch_stats}
         # the mask kwarg is only threaded when the engine padded the batch,
         # so unpadded steps keep their exact compiled program
@@ -236,6 +248,7 @@ def make_eval_step(model, cfg: GlobalConfig,
 
     @jax.jit
     def eval_step(state: TrainState, batch, batch_idx=0):
+        batch = _upcast_f16(batch)
         params = state.ema_params if use_ema else state.params
         variables = {"params": params, "batch_stats": state.batch_stats}
         rngs = None

@@ -35,3 +35,48 @@ def make_synth_batch(cfg, B: int, seed: int = 0, with_labels: bool = True):
             batch["beam"] = rng.uniform(0, 1, (B, nb)).astype(np.float32)
             batch["beamidx"] = rng.integers(0, nb, (B,)).astype(np.int32)
     return batch
+
+
+def build_synth_cache(cfg, n: int, cache_dir: str, seed: int = 0,
+                      chunk: int = 64) -> str:
+    """Writes ``n`` synthetic samples straight into the data/cache.py memmap
+    cache format (float16 modality memmaps + beamidx + scenario + manifest),
+    skipping the raw-tree decode.  Idempotent per directory.  Gives the
+    engine benchmark (tools/bench_engine.py) a production-shaped on-disk
+    dataset of arbitrary size in seconds."""
+    import json
+    import os
+
+    os.makedirs(cache_dir, exist_ok=True)
+    manifest = os.path.join(cache_dir, "manifest.json")
+    if os.path.exists(manifest):
+        return cache_dir
+
+    keys = ("image", "lidar", "radar", "gps", "beam")
+    first = make_synth_batch(cfg, 1, seed=seed)
+    specs, mms = {}, {}
+    for k in keys:
+        shape = (n,) + first[k].shape[1:]
+        specs[k] = {"shape": list(shape), "dtype": "float16"}
+        mms[k] = np.lib.format.open_memmap(
+            os.path.join(cache_dir, f"{k}.npy"), mode="w+",
+            dtype=np.float16, shape=shape)
+    bi_shape = (n,) + first["beamidx"].shape[1:]
+    beamidx = np.zeros(bi_shape, np.int32)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        b = make_synth_batch(cfg, hi - lo, seed=seed + 1 + lo)
+        for k in keys:
+            mms[k][lo:hi] = b[k].astype(np.float16)
+        beamidx[lo:hi] = b["beamidx"]
+    for mm in mms.values():
+        mm.flush()
+    np.save(os.path.join(cache_dir, "beamidx.npy"), beamidx)
+    rng = np.random.default_rng(seed)
+    scen = rng.choice(["scenario31", "scenario32", "scenario33",
+                       "scenario34"], size=n).tolist()
+    with open(os.path.join(cache_dir, "scenario.json"), "w") as f:
+        json.dump(scen, f)
+    with open(manifest, "w") as f:
+        json.dump({"n": n, "specs": specs, "has_labels": True}, f)
+    return cache_dir

@@ -184,6 +184,40 @@ class TestCache:
         batch = next(iter(DataLoader(cds, batch_size=4)))
         assert batch["image"].shape == (4, 5, 256, 256, 3)
 
+    def test_batch_loader_matches_classic(self, tree, tmp_path):
+        """CachedBatchLoader (one f16 gather per modality per batch) yields
+        the exact batches of DataLoader(CachedDataset) with the same
+        shuffle seed, modulo the deferred f16->f32 upcast (which the train
+        step does on device, train/steps.py::_upcast_f16)."""
+        from deepsense6g_tii_tpu.data.cache import CachedBatchLoader
+        root, csv = tree
+        ds = BeamDataset(root, csv, CFG)
+        d = build_cache(ds, str(tmp_path / "cache4"))
+        classic = DataLoader(CachedDataset(d), batch_size=3, shuffle=True,
+                             seed=11, num_workers=2)
+        fast = CachedBatchLoader(d, batch_size=3, shuffle=True, seed=11)
+        assert len(fast) == len(classic)
+        for a, b in zip(classic, fast):
+            for k in ("image", "lidar", "radar", "gps", "beam"):
+                assert b[k].dtype == np.float16
+                np.testing.assert_array_equal(a[k],
+                                              b[k].astype(np.float32))
+            np.testing.assert_array_equal(a["beamidx"], b["beamidx"])
+            np.testing.assert_array_equal(a["scenario"], b["scenario"])
+        # second epoch reshuffles identically across the two loaders
+        e2a = next(iter(classic))
+        e2b = next(iter(fast))
+        np.testing.assert_array_equal(e2a["beamidx"], e2b["beamidx"])
+
+    def test_batch_loader_drop_last(self, tree, tmp_path):
+        from deepsense6g_tii_tpu.data.cache import CachedBatchLoader
+        root, csv = tree
+        ds = BeamDataset(root, csv, CFG)
+        d = build_cache(ds, str(tmp_path / "cache5"))
+        n = len(ds)
+        dl = CachedBatchLoader(d, batch_size=n - 1, drop_last=True)
+        assert len(list(dl)) == 1
+
 
 class TestShardForProcess:
     def test_equal_disjoint_truncated(self):

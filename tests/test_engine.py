@@ -48,6 +48,36 @@ class TestTrainStep:
         assert losses[-1] < losses[0] * 0.7
         assert int(state.step) == 20
 
+    def test_f16_batch_matches_f32(self, rng):
+        """A float16-stored batch (CachedBatchLoader path) trains bit-
+        identically to the same values fed as float32: the step upcasts on
+        device before any math (steps.py::_upcast_f16)."""
+        model = TinyFuser(CFG)
+        b32 = make_batch(rng, B=4)
+        b16 = {k: (v.astype(np.float16)
+                   if v.dtype == np.float32 else v)
+               for k, v in b32.items() if k != "scenario"}
+        b32 = {k: (v.astype(np.float16).astype(np.float32)
+                   if v.dtype == np.float32 else v)
+               for k, v in b32.items() if k != "scenario"}
+        tx = make_optimizer()
+        variables = model.init(jax.random.PRNGKey(0), b32["image"],
+                               b32["lidar"], b32["radar"], b32["gps"])
+        step = make_train_step(model, CFG, tx)
+        s16 = create_train_state(variables, tx)
+        # fresh buffers: the donated s16 state must not alias s32's
+        s32 = create_train_state(
+            jax.tree_util.tree_map(lambda x: jnp.array(np.asarray(x)),
+                                   variables), tx)
+        for _ in range(3):
+            s16, m16 = step(s16, b16, 1e-2)
+            s32, m32 = step(s32, b32, 1e-2)
+        assert float(m16["loss"]) == float(m32["loss"])
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            s16.params, s32.params)
+
     def test_multi_step_matches_sequential(self, rng):
         """K steps fused in one lax.scan dispatch produce the exact same
         trajectory (params, opt state, EMA, losses) as K single-step
