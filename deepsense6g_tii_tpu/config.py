@@ -94,6 +94,13 @@ class GlobalConfig:
     # the mechanism tests (remat equality, BN sample-mask, engine, dryrun)
     # compile shrink ~3x without changing any mechanism under test.
     backbone_blocks: Optional[Tuple[int, int, int, int]] = None
+    # run the lidar+radar ResNet18s (identical shapes, different weights) as
+    # ONE feature_group_count=2 conv program over channel-concatenated
+    # streams: half the conv/pool/upsample dispatches at double the per-conv
+    # channel count (64/128/256/512 -> 128/256/512/1024, each a multiple of
+    # the 128-lane register width).  Numerically exact vs two separate
+    # backbones (per-channel BN; tests/test_grouped_backbone.py).
+    merge_lidar_radar: bool = False
     # Adam first-moment (mu) storage dtype: None = f32 (exact torch-AdamW
     # trajectory).  "bfloat16" halves mu's HBM (103M params -> 207 MB saved)
     # — enough to fit batch 16 without rematerialization on a 16G v5e.  The

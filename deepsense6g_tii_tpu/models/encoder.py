@@ -63,14 +63,22 @@ class FusionEncoder(nn.Module):
                                              remat=conv_remat,
                                              remat_stem=stem_remat,
                                              name="image_encoder")
-        self.lidar_backbone = ResNetBackbone(oth_blocks, dtype=dtype,
-                                             remat=conv_remat,
-                                             remat_stem=stem_remat,
-                                             name="lidar_encoder")
-        self.radar_backbone = ResNetBackbone(oth_blocks, dtype=dtype,
-                                             remat=conv_remat,
-                                             remat_stem=stem_remat,
-                                             name="radar_encoder")
+        if cfg.merge_lidar_radar:
+            # one grouped-conv program for both streams (resnet.py::groups)
+            self.lr_backbone = ResNetBackbone(oth_blocks, dtype=dtype,
+                                              remat=conv_remat,
+                                              remat_stem=stem_remat,
+                                              groups=2,
+                                              name="lidar_radar_encoder")
+        else:
+            self.lidar_backbone = ResNetBackbone(oth_blocks, dtype=dtype,
+                                                 remat=conv_remat,
+                                                 remat_stem=stem_remat,
+                                                 name="lidar_encoder")
+            self.radar_backbone = ResNetBackbone(oth_blocks, dtype=dtype,
+                                                 remat=conv_remat,
+                                                 remat_stem=stem_remat,
+                                                 name="radar_encoder")
 
         self.vel_embs = [
             nn.Dense(STAGE_FEATURES[i], name=f"vel_emb{i + 1}")
@@ -204,11 +212,39 @@ class FusionEncoder(nn.Module):
         lidar = _flatten_bt(lidar).astype(dtype)
         radar = _flatten_bt(radar).astype(dtype)
 
-        backbones = (self.image_backbone, self.lidar_backbone,
-                     self.radar_backbone)
-        feats = [bb.stage1(bb.stem(x, train, m), train, m)
-                 for bb, x, m in zip(backbones, (image, lidar, radar),
-                                     bn_masks)]
+        merged = cfg.merge_lidar_radar
+
+        def lr_stage(name, lid_f, rad_f, m):
+            """One grouped-conv dispatch over both streams.  The concat and
+            the split slices are layout ops XLA fuses into the neighbouring
+            convs; lidar+radar channel counts are equal at every stage."""
+            lr = jnp.concatenate([lid_f, rad_f], axis=-1)
+            lr = getattr(self.lr_backbone, name)(lr, train, m)
+            c = lr.shape[-1] // 2
+            return lr[..., :c], lr[..., c:]
+
+        if merged:
+            img_f = self.image_backbone.stage1(
+                self.image_backbone.stem(image, train, bn_masks[0]),
+                train, bn_masks[0])
+            # equal per-group input channels (grouped-conv requirement):
+            # zero-pad the narrower raw stream — exact, the padded
+            # channel's stem weights multiply zeros
+            cin = max(lidar.shape[-1], radar.shape[-1])
+            pad = lambda x: (x if x.shape[-1] == cin else jnp.pad(  # noqa: E731
+                x, ((0, 0),) * (x.ndim - 1) + ((0, cin - x.shape[-1]),)))
+            lr = jnp.concatenate([pad(lidar), pad(radar)], axis=-1)
+            lr = self.lr_backbone.stage1(
+                self.lr_backbone.stem(lr, train, bn_masks[1]),
+                train, bn_masks[1])
+            c = lr.shape[-1] // 2
+            feats = [img_f, lr[..., :c], lr[..., c:]]
+        else:
+            backbones = (self.image_backbone, self.lidar_backbone,
+                         self.radar_backbone)
+            feats = [bb.stage1(bb.stem(x, train, m), train, m)
+                     for bb, x, m in zip(backbones, (image, lidar, radar),
+                                         bn_masks)]
 
         feats = self._inject_rebuild(feats, rebuild_feats, train)
         stage1_feats = feats
@@ -228,8 +264,15 @@ class FusionEncoder(nn.Module):
                 outs = [interpolate_bilinear(o, STAGE_UPSAMPLE[i]) for o in outs]
             feats = [f + o.astype(f.dtype) for f, o in zip(feats, outs)]
             if i < 3:
-                feats = [getattr(bb, f"stage{i + 2}")(f, train, m)
-                         for bb, f, m in zip(backbones, feats, bn_masks)]
+                if merged:
+                    img_f = getattr(self.image_backbone, f"stage{i + 2}")(
+                        feats[0], train, bn_masks[0])
+                    lid_f, rad_f = lr_stage(f"stage{i + 2}", feats[1],
+                                            feats[2], bn_masks[1])
+                    feats = [img_f, lid_f, rad_f]
+                else:
+                    feats = [getattr(bb, f"stage{i + 2}")(f, train, m)
+                             for bb, f, m in zip(backbones, feats, bn_masks)]
 
         tracks = [_unflatten_bt(global_avg_pool(f), B).astype(jnp.float32)
                   for f in feats]                      # 3 x (B, T, 512)

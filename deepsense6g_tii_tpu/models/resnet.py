@@ -38,22 +38,30 @@ def bn_sample_mask(sample_mask, T: int):
 
 
 class BasicBlock(nn.Module):
+    """``groups > 1`` runs G independent per-stream blocks as ONE grouped
+    conv program over channel-concatenated streams (``features`` is the
+    TOTAL width).  Per-channel BatchNorm over the concatenation is exactly
+    G separate BatchNorms, so grouped == separate to float associativity
+    (pinned by tests/test_grouped_backbone.py)."""
+
     features: int
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask=None):
         residual = x
         y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
                     padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
-                    name="conv1")(x)
+                    feature_group_count=self.groups, name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, dtype=self.dtype, name="bn1")(
                              y, mask=mask)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
-                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+                    use_bias=False, dtype=self.dtype,
+                    feature_group_count=self.groups, name="conv2")(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, dtype=self.dtype, name="bn2")(
                              y, mask=mask)
@@ -61,6 +69,7 @@ class BasicBlock(nn.Module):
             residual = nn.Conv(self.features, (1, 1),
                                strides=(self.stride, self.stride),
                                use_bias=False, dtype=self.dtype,
+                               feature_group_count=self.groups,
                                name="downsample_conv")(x)
             residual = nn.BatchNorm(use_running_average=not train,
                                     momentum=BN_MOMENTUM, epsilon=BN_EPS,
@@ -70,14 +79,16 @@ class BasicBlock(nn.Module):
 
 
 class ResNetStem(nn.Module):
-    """conv7x7/2 + BN + relu + maxpool3x3/2: 256x256xC -> 64x64x64."""
+    """conv7x7/2 + BN + relu + maxpool3x3/2: 256x256xC -> 64x64x(64*groups)."""
 
     dtype: jnp.dtype = jnp.float32
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask=None):
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = nn.Conv(64 * self.groups, (7, 7), strides=(2, 2),
+                    padding=((3, 3), (3, 3)), use_bias=False, dtype=self.dtype,
+                    feature_group_count=self.groups, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, dtype=self.dtype, name="bn1")(
                              x, mask=mask)
@@ -90,12 +101,14 @@ class ResNetStage(nn.Module):
     num_blocks: int
     stride: int
     dtype: jnp.dtype = jnp.float32
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask=None):
         for i in range(self.num_blocks):
             x = BasicBlock(self.features, self.stride if i == 0 else 1,
-                           dtype=self.dtype, name=f"block{i}")(x, train, mask)
+                           dtype=self.dtype, groups=self.groups,
+                           name=f"block{i}")(x, train, mask)
         return x
 
 
@@ -122,21 +135,28 @@ class ResNetBackbone(nn.Module):
     # (~167 MB bf16 per modality at B=16·T=5); recomputing it costs one
     # 7x7 conv + BN forward per modality in the backward pass.
     remat_stem: bool = False
+    # groups=G: G independent backbones (channel-concatenated inputs,
+    # block-diagonal weights) as ONE grouped-conv program — used to merge
+    # the identically-shaped lidar+radar ResNet18s into half the conv
+    # dispatches with double the per-conv channel count
+    # (config.merge_lidar_radar).
+    groups: int = 1
 
     def setup(self):
         stage_cls = (nn.remat(ResNetStage, static_argnums=(2,))
                      if self.remat else ResNetStage)
         stem_cls = (nn.remat(ResNetStem, static_argnums=(2,))
                     if self.remat_stem else ResNetStem)
-        self.stem = stem_cls(dtype=self.dtype)
-        self.stage1 = stage_cls(STAGE_FEATURES[0], self.blocks[0],
-                                STAGE_STRIDES[0], dtype=self.dtype)
-        self.stage2 = stage_cls(STAGE_FEATURES[1], self.blocks[1],
-                                STAGE_STRIDES[1], dtype=self.dtype)
-        self.stage3 = stage_cls(STAGE_FEATURES[2], self.blocks[2],
-                                STAGE_STRIDES[2], dtype=self.dtype)
-        self.stage4 = stage_cls(STAGE_FEATURES[3], self.blocks[3],
-                                STAGE_STRIDES[3], dtype=self.dtype)
+        g = self.groups
+        self.stem = stem_cls(dtype=self.dtype, groups=g)
+        self.stage1 = stage_cls(STAGE_FEATURES[0] * g, self.blocks[0],
+                                STAGE_STRIDES[0], dtype=self.dtype, groups=g)
+        self.stage2 = stage_cls(STAGE_FEATURES[1] * g, self.blocks[1],
+                                STAGE_STRIDES[1], dtype=self.dtype, groups=g)
+        self.stage3 = stage_cls(STAGE_FEATURES[2] * g, self.blocks[2],
+                                STAGE_STRIDES[2], dtype=self.dtype, groups=g)
+        self.stage4 = stage_cls(STAGE_FEATURES[3] * g, self.blocks[3],
+                                STAGE_STRIDES[3], dtype=self.dtype, groups=g)
 
     def __call__(self, x, train: bool = False, mask=None):
         """Full backbone pass (used for weight-port validation).
@@ -150,3 +170,22 @@ class ResNetBackbone(nn.Module):
         for stage in (self.stage1, self.stage2, self.stage3, self.stage4):
             x = stage(x, train, mask)
         return x
+
+
+def merge_backbone_trees(*trees):
+    """Per-stream ResNetBackbone params/batch_stats -> the groups=G merged
+    tree.  Conv kernels (kh, kw, cin, cout) concatenate on the output axis
+    (in-channel zero-padded to the widest stream — exact: the extra input
+    channels are zeros); BN vectors concatenate per channel.  Stream order
+    must match the channel-concatenation order of the grouped input."""
+    import jax
+
+    def merge(*leaves):
+        arrs = [jnp.asarray(a) for a in leaves]
+        if arrs[0].ndim == 4:
+            cin = max(a.shape[-2] for a in arrs)
+            arrs = [jnp.pad(a, ((0, 0), (0, 0), (0, cin - a.shape[-2]),
+                                (0, 0))) for a in arrs]
+        return jnp.concatenate(arrs, axis=-1)
+
+    return jax.tree_util.tree_map(merge, *trees)
