@@ -19,6 +19,7 @@ BASELINE.md "Throughput / cost"), so vs_baseline is apples-to-apples:
 import json
 import os
 import time
+from typing import Optional
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
@@ -77,6 +78,9 @@ def main():
     # the tunneled host's ~30 ms/step dispatch+sync gap off the measurement,
     # exactly as the production engine runs (train/engine.py::_staged_train).
     K = int(os.environ.get("DEEPSENSE_BENCH_K", 8 if on_tpu else 1))
+    # gradient-accumulation microbatches per optimizer step (activation
+    # memory scales with B/GA; the update is exactly the full-B gradient)
+    GA = int(os.environ.get("DEEPSENSE_BENCH_GRAD_ACCUM", "1"))
 
     cfg = GlobalConfig(use_pallas_scan=on_tpu,
                        compute_dtype="bfloat16" if on_tpu else "float32",
@@ -93,7 +97,10 @@ def main():
                                               "1") != "0"),
                        # None = auto (hw PRNG on TPU); hash for the A/B
                        flash_dropout_impl=os.environ.get(
-                           "DEEPSENSE_BENCH_FLASH_DROPOUT") or None)
+                           "DEEPSENSE_BENCH_FLASH_DROPOUT") or None,
+                       # lidar+radar ResNet18s as one grouped-conv program
+                       merge_lidar_radar=os.environ.get(
+                           "DEEPSENSE_BENCH_MERGE_LR", "0") == "1")
     model = BeamFuser(cfg)
     batch = make_synth_batch(cfg, B)
 
@@ -109,13 +116,37 @@ def main():
                    for k, v in batch.items()}
         dev_batch = shard_stacked_batch(stacked, mesh)
         step = make_multi_train_step(
-            model, cfg, tx, use_ema=True,
+            model, cfg, tx, use_ema=True, grad_accum=GA,
             unroll=int(os.environ.get("DEEPSENSE_BENCH_UNROLL", "1")))
     else:
         dev_batch = shard_batch(batch, mesh)
-        step = make_train_step(model, cfg, tx, use_ema=True)
+        step = make_train_step(model, cfg, tx, use_ema=True, grad_accum=GA)
 
-    # warmup/compile
+    # AOT-compile the step ONCE and execute through the compiled object —
+    # also the source of the FLOP count for the MFU line
+    # (compiled.cost_analysis()); lowering twice (AOT + jit warmup) would
+    # double the multi-minute full-model compile.
+    step = step.lower(state, dev_batch, 1e-4).compile()
+    flops_per_step = None
+    try:
+        cost = step.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        f = float(cost.get("flops", 0.0))
+        if f > 0:
+            # MEASURED (r3): cost_analysis counts each lax.scan body ONCE,
+            # not x trip count — the K=8 multi-step program reports the same
+            # flops as K=1 (ratio 1.0000) — so f already IS one optimizer
+            # step; do NOT divide by K.  The grad-accum microbatch loop is
+            # also a scan, so its body (one microbatch) is counted once:
+            # scale by GA to recover the full step.
+            flops_per_step = f * GA
+    except Exception as e:              # noqa: BLE001 - MFU is best-effort
+        import sys
+        print(f"bench: cost_analysis unavailable ({type(e).__name__}: {e})",
+              file=sys.stderr, flush=True)
+
+    # warmup (executable is already compiled; this loads/initializes it)
     state, m = step(state, dev_batch, 1e-4)
     _ = float(np.asarray(m["loss"]).ravel()[-1])
 
@@ -127,15 +158,43 @@ def main():
     dt = (time.perf_counter() - t0) / (n_iter * K)
 
     sps_chip = B / dt / n_chips
-    print(json.dumps({
+    out = {
         "metric": "fused 4-modal train samples/sec/chip "
                   f"({'GPT TransFuser' if arch == 'gpt' else 'MambaFuser'}, "
-                  f"bs {B}, {K} step(s)/dispatch, {n_chips} chip(s))",
+                  f"bs {B}, {K} step(s)/dispatch"
+                  + (f", grad_accum {GA}" if GA > 1 else "")
+                  + f", {n_chips} chip(s))",
         "value": round(sps_chip, 3),
         "unit": "samples/sec/chip",
         "vs_baseline": round(
             sps_chip / BASELINES.get(arch, BASELINES["mamba"]), 2),
-    }))
+    }
+    if flops_per_step is not None:
+        achieved = flops_per_step / dt / n_chips          # FLOP/s/chip
+        out["tflops_per_chip"] = round(achieved / 1e12, 2)
+        peak = _peak_flops(jax.devices()[0])
+        if peak:
+            out["mfu"] = round(achieved / peak, 4)
+    print(json.dumps(out))
+
+
+def _peak_flops(device) -> Optional[float]:
+    """Per-chip peak bf16 FLOP/s by device kind (public TPU spec sheets);
+    None when unknown so the bench prints raw TFLOP/s instead of a wrong
+    denominator."""
+    kind = getattr(device, "device_kind", "") or ""
+    k = kind.lower().replace(" ", "")
+    table = [
+        ("v5lite", 197e12), ("v5e", 197e12),      # v5e: 197 bf16 TFLOP/s
+        ("v5p", 459e12),
+        ("v4", 275e12),
+        ("v6e", 918e12), ("trillium", 918e12),
+        ("v3", 123e12), ("v2", 46e12),
+    ]
+    for sub, peak in table:
+        if sub in k:
+            return peak
+    return None
 
 
 def _run_with_retry():

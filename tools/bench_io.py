@@ -114,6 +114,18 @@ def main():
         run(CachedDataset(cache_dir), args.batch_size, args.workers,
             "memmap cache path")
 
+        # the production hot path: one f16 fancy-index gather per modality
+        # per batch, no per-sample copies, no pool round-trip
+        from deepsense6g_tii_tpu.data.cache import CachedBatchLoader
+        loader = CachedBatchLoader(cache_dir, args.batch_size, shuffle=True)
+        n = 0
+        t0 = time.perf_counter()
+        for b in loader:
+            n += b["image"].shape[0]
+        dt = time.perf_counter() - t0
+        print(f"CachedBatchLoader (f16 gather): {n / dt:.1f} samples/sec "
+              f"({n} samples, {dt:.1f} s)")
+
 
 if __name__ == "__main__":
     main()
