@@ -100,7 +100,11 @@ def main():
                            "DEEPSENSE_BENCH_FLASH_DROPOUT") or None,
                        # lidar+radar ResNet18s as one grouped-conv program
                        merge_lidar_radar=os.environ.get(
-                           "DEEPSENSE_BENCH_MERGE_LR", "0") == "1")
+                           "DEEPSENSE_BENCH_MERGE_LR", "0") == "1",
+                       # mamba path: 1024-padded token stream (no per-scan
+                       # pad/slice; exact — config.padded_token_stream)
+                       padded_token_stream=os.environ.get(
+                           "DEEPSENSE_BENCH_PADDED", "0") == "1")
     model = BeamFuser(cfg)
     batch = make_synth_batch(cfg, B)
 

@@ -100,6 +100,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="in-kernel attention-dropout PRNG: hw = TPU "
                         "hardware PRNG (fastest, chip-only stream), hash = "
                         "counter hash (backend-reproducible); default auto")
+    p.add_argument("--merge_lidar_radar", type=int, default=0,
+                   help="run the lidar+radar ResNet18s as ONE grouped-conv "
+                        "program (feature_group_count=2): half the conv "
+                        "dispatches, numerically exact")
+    p.add_argument("--padded_token_stream", type=int, default=0,
+                   help="mamba path: carry the fused token stream padded "
+                        "to the next 128-multiple through all fusion "
+                        "blocks (no per-scan pad/slice; exact)")
     p.add_argument("--multihost", type=int, default=0,
                    help="jax.distributed.initialize() for multi-host DCN "
                         "training; same code, bigger ('data',) mesh")
@@ -149,6 +157,8 @@ def config_from_args(args):
         remat={"0": "none", "1": "fusion"}.get(args.remat, args.remat),
         opt_mu_dtype=(None if args.opt_mu_dtype in (None, "float32")
                       else args.opt_mu_dtype),
+        merge_lidar_radar=bool(getattr(args, "merge_lidar_radar", 0)),
+        padded_token_stream=bool(getattr(args, "padded_token_stream", 0)),
         **_geometry_overrides(args),
     )
 

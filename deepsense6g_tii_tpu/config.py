@@ -101,6 +101,16 @@ class GlobalConfig:
     # the 128-lane register width).  Numerically exact vs two separate
     # backbones (per-channel BN; tests/test_grouped_backbone.py).
     merge_lidar_radar: bool = False
+    # Mamba-path only: carry the fused token stream padded to the next
+    # 128-multiple (962 -> 1024) through ALL fusion blocks instead of
+    # padding/slicing around each of the 64 selective-scan kernel calls.
+    # Exact for the real tokens by causality — pads always TRAIL (the
+    # backward branch flips only the real prefix), so no scan output at a
+    # real position ever sees a pad, and the (tokens, C) LayerNorm computes
+    # its statistics over the real prefix only (fusion.py::TokenFusion).
+    # Ignored on the GPT path (attention would need in-kernel real-length
+    # masking; its per-call pad is already cheap there).
+    padded_token_stream: bool = False
     # Adam first-moment (mu) storage dtype: None = f32 (exact torch-AdamW
     # trajectory).  "bfloat16" halves mu's HBM (103M params -> 207 MB saved)
     # — enough to fit batch 16 without rematerialization on a 16G v5e.  The

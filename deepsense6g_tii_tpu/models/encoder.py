@@ -114,6 +114,7 @@ class FusionEncoder(nn.Module):
                 d_conv=cfg.d_conv,
                 expand=cfg.expand,
                 use_pallas=cfg.use_pallas_scan,
+                padded_stream=cfg.padded_token_stream,
                 dtype=dtype,
                 name=f"fusion{i + 1}")
             for i in range(4)

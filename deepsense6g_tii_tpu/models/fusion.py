@@ -136,11 +136,48 @@ class GPTBlock(nn.Module):
         return x + h
 
 
+class _PrefixLayerNorm2D(nn.Module):
+    """LayerNorm over the (n_real, C) trailing shape of a padded
+    (B, T_pad, C) stream: statistics and affine come from the REAL token
+    prefix only, exactly matching
+    ``nn.LayerNorm(reduction_axes=(-2, -1), feature_axes=(-2, -1))`` applied
+    to the unpadded (B, n_real, C) input (same fast-variance formula, f32
+    stats, epsilon, and multiply order).  Pad rows are normalized with the
+    real stats and get identity affine — bounded values, never read back by
+    a real position.  Param tree is identical to nn.LayerNorm's
+    ({scale, bias} of shape (n_real, C)) for checkpoint parity.
+    """
+
+    n_real: int
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (self.n_real, C))
+        bias = self.param("bias", nn.initializers.zeros, (self.n_real, C))
+        xf = x[:, :self.n_real].astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(-2, -1), keepdims=True)
+        mean2 = jnp.mean(xf * xf, axis=(-2, -1), keepdims=True)
+        var = jnp.maximum(0.0, mean2 - mean * mean)
+        pad = x.shape[1] - self.n_real
+        mul = jax.lax.rsqrt(var + self.epsilon) * jnp.pad(
+            scale, ((0, pad), (0, 0)), constant_values=1.0)
+        return (x.astype(jnp.float32) - mean) * mul + jnp.pad(
+            bias, ((0, pad), (0, 0)))
+
+
 class MambaBlock(nn.Module):
     """Bi-branch Mamba block (mambafuser_seq.py:74-109).
 
     LayerNorm is over the full (n_tokens, C) trailing shape with a
     per-(token, channel) affine — torch nn.LayerNorm(ln_size) parity.
+
+    ``n_real``: when set (< the stream length), the input carries
+    ``x.shape[1] - n_real`` trailing pad tokens (config.padded_token_stream):
+    LN statistics come from the real prefix and the backward branch reverses
+    ONLY the real prefix (pads stay trailing), so both direction scans are
+    causal-exact for real positions with no per-scan pad/slice.
     """
 
     n_embd: int
@@ -149,12 +186,17 @@ class MambaBlock(nn.Module):
     d_conv: int = 4
     expand: int = 2
     use_pallas: bool = True
+    n_real: int | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x_ln = nn.LayerNorm(reduction_axes=(-2, -1), feature_axes=(-2, -1),
-                            name="ln1")(x)
+        padded = self.n_real is not None and self.n_real < x.shape[1]
+        if padded:
+            x_ln = _PrefixLayerNorm2D(self.n_real, name="ln1")(x)
+        else:
+            x_ln = nn.LayerNorm(reduction_axes=(-2, -1),
+                                feature_axes=(-2, -1), name="ln1")(x)
         x_fc1 = nn.Dense(self.n_embd, kernel_init=_DENSE_INIT,
                          dtype=self.dtype, name="fc1")(x_ln)
         # init_style="gpt2": the reference MambaFusion/GPT applies
@@ -172,7 +214,15 @@ class MambaBlock(nn.Module):
         # concats of u/dt/B/C cost more HBM traffic than the halved kernel
         # launches save.  Two separate calls stay the default.
         x_fm = mamba("forward_mamba")(x_fc1)
-        x_flip = jnp.flip(x_fc1, axis=1)
+        if padded:
+            # reverse the real prefix, keep pads TRAILING: position i holds
+            # token t_{n_real-1-i} exactly as the dense flip, and no pad
+            # precedes a real token in either causal branch
+            x_flip = jnp.concatenate(
+                [jnp.flip(x_fc1[:, :self.n_real], axis=1),
+                 x_fc1[:, self.n_real:]], axis=1)
+        else:
+            x_flip = jnp.flip(x_fc1, axis=1)
         x_bm = mamba("backward_mamba")(x_flip)
         x_fc2 = nn.Dense(self.n_embd, kernel_init=_DENSE_INIT,
                          dtype=self.dtype, name="fc2")(x_flip)
@@ -213,6 +263,9 @@ class TokenFusion(nn.Module):
     d_conv: int = 4
     expand: int = 2
     use_pallas: bool = True
+    # carry the stream padded to the next 128-multiple through the mamba
+    # blocks (config.padded_token_stream) — no per-scan pad/slice; exact
+    padded_stream: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -250,6 +303,16 @@ class TokenFusion(nn.Module):
         x = tokens + pos_emb.astype(tokens.dtype)
         x = nn.Dropout(self.embd_pdrop)(x, deterministic=deterministic)
 
+        # pad ONCE here (after pos_emb: param shapes stay (n_tokens, C))
+        # instead of around each of the 2*n_layer selective-scan calls;
+        # mamba path only — see config.padded_token_stream
+        n_real = None
+        if self.padded_stream and self.fusion_type == "mamba":
+            t_pad = -self.n_tokens % 128
+            if t_pad:
+                n_real = self.n_tokens
+                x = jnp.pad(x, ((0, 0), (0, t_pad), (0, 0)))
+
         if self.fusion_type == "gpt":
             for i in range(self.n_layer):
                 x = GPTBlock(self.n_embd, self.n_head, self.block_exp,
@@ -263,11 +326,14 @@ class TokenFusion(nn.Module):
             for i in range(self.n_layer):
                 x = MambaBlock(self.n_embd, self.n_tokens, self.d_state,
                                self.d_conv, self.expand,
-                               use_pallas=self.use_pallas, dtype=self.dtype,
+                               use_pallas=self.use_pallas, n_real=n_real,
+                               dtype=self.dtype,
                                name=f"block{i}")(x)
         else:
             raise ValueError(f"unknown fusion_type {self.fusion_type!r}")
 
+        if n_real is not None:
+            x = x[:, :n_real]     # drop pads; ln_f is per-token, so exact
         x = nn.LayerNorm(name="ln_f")(x)
 
         n_map = (Ti + 2 * T) * self.anchors
