@@ -20,8 +20,25 @@ import numpy as np
 _MANIFEST = "manifest.json"
 
 
-def build_cache(dataset, cache_dir: str, num_workers: int = 16) -> str:
-    """Featurizes ``dataset`` into ``cache_dir`` memmaps.  Idempotent."""
+def _uint8_exact(a: np.ndarray) -> bool:
+    """True when ``a`` is exactly representable as uint8 (integral 0..255)."""
+    return bool(a.size and a.min() >= 0 and a.max() <= 255
+                and np.array_equal(a, np.trunc(a)))
+
+
+def build_cache(dataset, cache_dir: str, num_workers: int = 16,
+                image_dtype: str | None = None) -> str:
+    """Featurizes ``dataset`` into ``cache_dir`` memmaps.  Idempotent.
+
+    ``image_dtype``: storage dtype for the image modality — None (auto)
+    stores uint8 when the first sample is exactly uint8-representable
+    (camera frames, original and reference-augmented alike, are
+    uint8-valued JPEG decodes), halving the biggest modality's disk,
+    host-copy, and host->device bytes vs float16; value-exact either way
+    (the train step upcasts on device, train/steps.py::_upcast_f16).
+    Non-integral images (e.g. the block-mean input_resolution shrink)
+    auto-fall back to float16.  Pass "float16" to force.
+    """
     os.makedirs(cache_dir, exist_ok=True)
     manifest_path = os.path.join(cache_dir, _MANIFEST)
     if os.path.exists(manifest_path):
@@ -33,11 +50,17 @@ def build_cache(dataset, cache_dir: str, num_workers: int = 16) -> str:
     mms = {}
     for k in ("image", "lidar", "radar", "gps", "beam"):
         if k in first:
+            dt = np.float16
+            if k == "image" and image_dtype is None \
+                    and _uint8_exact(np.asarray(first[k])):
+                dt = np.uint8
+            elif k == "image" and image_dtype is not None:
+                dt = np.dtype(image_dtype)
             shape = (n,) + np.asarray(first[k]).shape
-            specs[k] = {"shape": list(shape), "dtype": "float16"}
+            specs[k] = {"shape": list(shape), "dtype": np.dtype(dt).name}
             mms[k] = np.lib.format.open_memmap(
                 os.path.join(cache_dir, f"{k}.npy"), mode="w+",
-                dtype=np.float16, shape=shape)
+                dtype=dt, shape=shape)
     has_labels = "beamidx" in first
     # (n,) for single-step labels, (n, pred_len) for the 30to5 variant
     # (data2_seq_30to5.py:160-172 emits pred_len beam indices per sample)
@@ -48,7 +71,13 @@ def build_cache(dataset, cache_dir: str, num_workers: int = 16) -> str:
     def work(i):
         s = dataset[i]
         for k, mm in mms.items():
-            mm[i] = np.asarray(s[k], dtype=np.float16)
+            v = np.asarray(s[k])
+            if mm.dtype == np.uint8 and not _uint8_exact(v):
+                raise ValueError(
+                    f"sample {i}'s {k} is not uint8-exact but the cache "
+                    "auto-selected uint8 from sample 0; rebuild with "
+                    "image_dtype='float16'")
+            mm[i] = v.astype(mm.dtype)
         if has_labels:
             beamidx[i] = s["beamidx"]
         scenarios[i] = s.get("scenario", "")
@@ -75,11 +104,12 @@ class CachedBatchLoader:
     (memmap row -> float32 convert -> collate re-stack) plus a thread-pool
     round-trip; on a host with few cores that chain, not the device, bounds
     training throughput.  This loader does ONE fancy-index gather per
-    modality per batch and keeps the cache's float16 storage dtype, so host
-    memory traffic AND the host->device transfer are less than a third of
-    the classic path's bytes.  The jitted train step upcasts to float32 on
-    device (train/steps.py), which is value-exact, so the training
-    trajectory is identical (pinned by tests/test_data.py).
+    modality per batch and keeps the cache's storage dtype (float16; uint8
+    for uint8-exact imagery), so host memory traffic AND the host->device
+    transfer are a third or less of the classic path's bytes.  The jitted
+    train step upcasts to float32 on device (train/steps.py), which is
+    value-exact, so the training trajectory is identical (pinned by
+    tests/test_dataset.py).
 
     Shuffle order matches ``DataLoader(shuffle=True)`` with the same seed
     (same per-epoch permutation), so the two paths are interchangeable

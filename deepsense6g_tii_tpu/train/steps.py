@@ -28,13 +28,16 @@ def _model_inputs(batch: Dict[str, jnp.ndarray]):
 
 
 def _upcast_f16(batch):
-    """float16-stored batches (data/cache.py::CachedBatchLoader) -> float32
-    on device.  f16 -> f32 is value-exact, so the step math is identical to
-    a host-upcast batch while the host copies and the host->device transfer
-    stay at half the bytes.  No-op for float32 batches (same compiled
-    program as before for them)."""
+    """Compactly-stored batches (data/cache.py::CachedBatchLoader) -> float32
+    on device.  f16 -> f32 and uint8 -> f32 (the image modality's exact
+    storage dtype: camera frames — original AND reference-augmented — are
+    uint8-valued) are value-exact, so the step math is identical to a
+    host-upcast batch while the host copies and the host->device transfer
+    run at half / a quarter of the bytes.  int32 labels pass through; no-op
+    for float32 batches (same compiled program as before for them)."""
     return jax.tree_util.tree_map(
-        lambda v: v.astype(jnp.float32) if v.dtype == jnp.float16 else v,
+        lambda v: (v.astype(jnp.float32)
+                   if v.dtype in (jnp.float16, jnp.uint8) else v),
         batch)
 
 

@@ -21,7 +21,9 @@ def make_synth_batch(cfg, B: int, seed: int = 0, with_labels: bool = True):
     T, H = cfg.seq_len, cfg.input_resolution
     rc = 2 if cfg.add_velocity else 1
     batch = {
-        "image": rng.uniform(0, 255, (B, T, H, H, 3)).astype(np.float32),
+        # integer-valued like real camera data (uint8 JPEG decodes) so the
+        # cache's exact-uint8 image storage engages for synthetic runs too
+        "image": rng.integers(0, 256, (B, T, H, H, 3)).astype(np.float32),
         "lidar": rng.uniform(0, 1, (B, T, H, H, 1)).astype(np.float32),
         "radar": rng.uniform(0, 1, (B, T, H, H, rc)).astype(np.float32),
         "gps": rng.normal(size=(B, cfg.gps_len, 2)).astype(np.float32),
@@ -56,18 +58,21 @@ def build_synth_cache(cfg, n: int, cache_dir: str, seed: int = 0,
     first = make_synth_batch(cfg, 1, seed=seed)
     specs, mms = {}, {}
     for k in keys:
+        # image rides the cache's exact-uint8 storage (data/cache.py):
+        # half the f16 bytes on disk, in host copies, and over h2d
+        dt = np.uint8 if k == "image" else np.float16
         shape = (n,) + first[k].shape[1:]
-        specs[k] = {"shape": list(shape), "dtype": "float16"}
+        specs[k] = {"shape": list(shape), "dtype": np.dtype(dt).name}
         mms[k] = np.lib.format.open_memmap(
             os.path.join(cache_dir, f"{k}.npy"), mode="w+",
-            dtype=np.float16, shape=shape)
+            dtype=dt, shape=shape)
     bi_shape = (n,) + first["beamidx"].shape[1:]
     beamidx = np.zeros(bi_shape, np.int32)
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
         b = make_synth_batch(cfg, hi - lo, seed=seed + 1 + lo)
         for k in keys:
-            mms[k][lo:hi] = b[k].astype(np.float16)
+            mms[k][lo:hi] = b[k].astype(mms[k].dtype)
         beamidx[lo:hi] = b["beamidx"]
     for mm in mms.values():
         mm.flush()

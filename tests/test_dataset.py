@@ -199,7 +199,10 @@ class TestCache:
         assert len(fast) == len(classic)
         for a, b in zip(classic, fast):
             for k in ("image", "lidar", "radar", "gps", "beam"):
-                assert b[k].dtype == np.float16
+                # image rides the exact-uint8 storage when the imagery is
+                # uint8-valued; everything else stays f16
+                assert b[k].dtype == (np.uint8 if k == "image"
+                                      else np.float16)
                 np.testing.assert_array_equal(a[k],
                                               b[k].astype(np.float32))
             np.testing.assert_array_equal(a["beamidx"], b["beamidx"])
@@ -208,6 +211,34 @@ class TestCache:
         e2a = next(iter(classic))
         e2b = next(iter(fast))
         np.testing.assert_array_equal(e2a["beamidx"], e2b["beamidx"])
+
+    def test_uint8_image_storage(self, tree, tmp_path):
+        """Camera frames are uint8-valued JPEG decodes: the cache stores
+        them uint8 (half the f16 bytes) and serves them back exactly;
+        non-integral imagery falls back to float16."""
+        root, csv = tree
+        ds = BeamDataset(root, csv, CFG)
+        d = build_cache(ds, str(tmp_path / "c_u8"))
+        import json
+        with open(os.path.join(d, "manifest.json")) as f:
+            specs = json.load(f)["specs"]
+        assert specs["image"]["dtype"] == "uint8"
+        a, b = ds[1], CachedDataset(d)[1]
+        np.testing.assert_array_equal(b["image"], a["image"])  # exact
+        assert b["image"].dtype == np.float32   # classic path upcasts
+
+        class _Frac:
+            def __len__(self):
+                return 2
+
+            def __getitem__(self, i):
+                s = dict(ds[i])
+                s["image"] = s["image"] + 0.25   # non-integral
+                return s
+
+        d2 = build_cache(_Frac(), str(tmp_path / "c_frac"))
+        with open(os.path.join(d2, "manifest.json")) as f:
+            assert json.load(f)["specs"]["image"]["dtype"] == "float16"
 
     def test_batch_loader_drop_last(self, tree, tmp_path):
         from deepsense6g_tii_tpu.data.cache import CachedBatchLoader
