@@ -69,10 +69,11 @@ def main():
     # default: the GPT TransFuser (the 0.6671 challenge winner / north-star
     # model); DEEPSENSE_BENCH_ARCH=mamba benches the MambaFuser fork
     arch = os.environ.get("DEEPSENSE_BENCH_ARCH", "gpt")
-    # measured per-chip batch optima on v5e (NOTES_NEXT_ROUND): Mamba 8 (16
-    # OOMs by 20 MB even at K=1 + bf16-mu), GPT 16 (flash attention frees
-    # the attention residuals; 90.9 vs 86.9 samples/s/chip at 8).
-    default_b = (16 if arch == "gpt" else 8) if on_tpu else 1
+    # measured per-chip batch optima on v5e (NOTES_NEXT_ROUND): GPT 16
+    # (flash attention frees the attention residuals; 90.9 vs 86.9
+    # samples/s/chip at 8), Mamba 16 with grad_accum=2 (plain B=16 OOMs by
+    # 20 MB; two scanned microbatches fit and beat B=8: 53.7 vs 52.9).
+    default_b = 16 if on_tpu else 1
     B = int(os.environ.get("DEEPSENSE_BENCH_B", default_b)) * n_chips
     # steps fused per dispatch (Engine steps_per_dispatch / lax.scan): takes
     # the tunneled host's ~30 ms/step dispatch+sync gap off the measurement,
@@ -80,7 +81,8 @@ def main():
     K = int(os.environ.get("DEEPSENSE_BENCH_K", 8 if on_tpu else 1))
     # gradient-accumulation microbatches per optimizer step (activation
     # memory scales with B/GA; the update is exactly the full-B gradient)
-    GA = int(os.environ.get("DEEPSENSE_BENCH_GRAD_ACCUM", "1"))
+    default_ga = 2 if (on_tpu and arch == "mamba") else 1
+    GA = int(os.environ.get("DEEPSENSE_BENCH_GRAD_ACCUM", default_ga))
 
     cfg = GlobalConfig(use_pallas_scan=on_tpu,
                        compute_dtype="bfloat16" if on_tpu else "float32",
