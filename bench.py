@@ -26,7 +26,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 import jax
 import numpy as np
 
-from deepsense6g_tii_tpu.config import GlobalConfig
+from deepsense6g_tii_tpu.config import GlobalConfig, config_30to5
 from deepsense6g_tii_tpu.models.fuser import BeamFuser
 from deepsense6g_tii_tpu.parallel.mesh import (make_mesh, replicate,
                                                shard_batch,
@@ -84,7 +84,13 @@ def main():
     default_ga = 2 if (on_tpu and arch == "mamba") else 1
     GA = int(os.environ.get("DEEPSENSE_BENCH_GRAD_ACCUM", default_ga))
 
-    cfg = GlobalConfig(use_pallas_scan=on_tpu,
+    # DEEPSENSE_BENCH_30TO5=1 benches the 30-to-5 multi-step variant
+    # (10 input frames, 5 predicted beams, 1922 fused tokens + GRU decoder
+    # — config_seq_30to5.py); the doubled token/frame count roughly doubles
+    # activation memory, so halve the per-chip batch via DEEPSENSE_BENCH_B.
+    to5 = os.environ.get("DEEPSENSE_BENCH_30TO5", "0") == "1"
+    make_cfg = config_30to5 if to5 else GlobalConfig
+    cfg = make_cfg(use_pallas_scan=on_tpu,
                        compute_dtype="bfloat16" if on_tpu else "float32",
                        remat=os.environ.get("DEEPSENSE_BENCH_REMAT", "none"),
                        opt_mu_dtype=os.environ.get("DEEPSENSE_BENCH_MU_DTYPE")
@@ -166,8 +172,9 @@ def main():
     sps_chip = B / dt / n_chips
     out = {
         "metric": "fused 4-modal train samples/sec/chip "
-                  f"({'GPT TransFuser' if arch == 'gpt' else 'MambaFuser'}, "
-                  f"bs {B}, {K} step(s)/dispatch"
+                  f"({'GPT TransFuser' if arch == 'gpt' else 'MambaFuser'}"
+                  + (" 30to5" if to5 else "")
+                  + f", bs {B}, {K} step(s)/dispatch"
                   + (f", grad_accum {GA}" if GA > 1 else "")
                   + f", {n_chips} chip(s))",
         "value": round(sps_chip, 3),

@@ -38,11 +38,13 @@ def main():
     # batch construction and init — so the breakdown describes the program
     # bench.py measures and the persistent jit cache is shared with it
     arch = os.environ.get("DEEPSENSE_BENCH_ARCH", "gpt")
-    default_b = (16 if arch == "gpt" else 8) if on_tpu else 1
+    default_b = 16 if on_tpu else 1
     B = (int(sys.argv[1]) if len(sys.argv) > 1
          else int(os.environ.get("DEEPSENSE_BENCH_B",
                                  default_b))) * n_chips
     K = int(os.environ.get("DEEPSENSE_BENCH_K", "8" if on_tpu else "1"))
+    default_ga = 2 if (on_tpu and arch == "mamba") else 1
+    GA = int(os.environ.get("DEEPSENSE_BENCH_GRAD_ACCUM", default_ga))
     cfg = GlobalConfig(use_pallas_scan=on_tpu,
                        compute_dtype="bfloat16" if on_tpu else "float32",
                        remat=os.environ.get("DEEPSENSE_BENCH_REMAT", "none"),
@@ -74,10 +76,10 @@ def main():
         batch = shard_stacked_batch(stacked, mesh)
         unroll = int(os.environ.get("DEEPSENSE_BENCH_UNROLL", "1"))
         step = make_multi_train_step(model, cfg, tx, unroll=unroll,
-                                     use_ema=True)
+                                     use_ema=True, grad_accum=GA)
     else:
         batch = shard_batch(batch, mesh)
-        step = make_train_step(model, cfg, tx, use_ema=True)
+        step = make_train_step(model, cfg, tx, use_ema=True, grad_accum=GA)
     state, m = step(state, batch, 1e-4)
     _ = float(np.asarray(m["loss"]).ravel()[-1])   # compile + sync
 
