@@ -69,7 +69,8 @@ def _make_step_body(model, cfg: GlobalConfig, tx,
                     ema_decay: float = 0.999,
                     clip_grad_norm: Optional[float] = None,
                     rng_seed: int = 100,
-                    grad_accum: int = 1):
+                    grad_accum: int = 1,
+                    grad_accum_unroll: int = 1):
     """Unjitted (state, batch, lr) -> (state, metrics) train-step body,
     shared by the single-step and multi-step (scan) wrappers.
 
@@ -80,7 +81,12 @@ def _make_step_body(model, cfg: GlobalConfig, tx,
     microbatch's loss is a weighted mean (losses.py ``_weighted_mean``),
     so the full-batch gradient is the d_i-weighted average of microbatch
     gradients, d_i = that microbatch's weight total (its row count when
-    unpadded — equal d_i then reduce to a plain average).  BatchNorm
+    unpadded — equal d_i then reduce to a plain average).
+    ``grad_accum_unroll`` inlines that many microbatch bodies per scan
+    iteration (identical math; trades while-loop overhead for program
+    size — at unroll == K the inner loop disappears entirely, at the risk
+    of XLA co-scheduling microbatch activations and losing the memory
+    saving that motivated grad-accum).  BatchNorm
     statistics chain through the K microbatches (K sequential
     momentum-0.9 updates; batch mean/var are per-microbatch, the standard
     grad-accum BN semantics).  Microbatch i takes batch rows [i::K], so
@@ -185,7 +191,8 @@ def _make_step_body(model, cfg: GlobalConfig, tx,
         carry0 = (state.batch_stats, gzero, jnp.asarray(0.0, jnp.float32),
                   jnp.asarray(0.0, jnp.float32))
         (new_stats, gsum, wsum, lsum), logits_k = jax.lax.scan(
-            f, carry0, (micro, jnp.arange(K)))
+            f, carry0, (micro, jnp.arange(K)),
+            unroll=min(int(grad_accum_unroll), K))
         denom = jnp.maximum(wsum, 1e-9)
         grads = jax.tree_util.tree_map(lambda g: g / denom, gsum)
         loss = lsum / denom
