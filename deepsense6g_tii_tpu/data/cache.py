@@ -17,6 +17,8 @@ from typing import Dict
 
 import numpy as np
 
+from .features import HIST_MAX_PER_PIXEL
+
 _MANIFEST = "manifest.json"
 
 
@@ -26,8 +28,33 @@ def _uint8_exact(a: np.ndarray) -> bool:
                 and np.array_equal(a, np.trunc(a)))
 
 
+def _quantize_exact(a: np.ndarray, scale: float):
+    """``a`` as uint8 levels q with q/scale == a exactly, else None.
+
+    LiDAR BEV maps are ``clip(hist, 5)/5`` (features.py:49-58) — six exact
+    levels {0, 0.2, .., 1.0} — so counts = rint(a*5) reconstruct the float32
+    map bit-exactly via a float32 division.  The round-trip check (not an
+    integrality check: float32(0.2)*5 != 1.0) is what guarantees exactness;
+    maps off the grid (e.g. the block-mean input_resolution shrink) fail it
+    and keep float16 storage.
+    """
+    a = np.asarray(a, np.float32)
+    if not a.size:
+        return None
+    q = np.rint(a * scale)
+    if q.min() < 0 or q.max() > 255:
+        return None
+    if not np.array_equal(q.astype(np.float32) / np.float32(scale), a):
+        return None
+    return q.astype(np.uint8)
+
+
+RADAR_UINT8_SCALE = 255.0
+
+
 def build_cache(dataset, cache_dir: str, num_workers: int = 16,
-                image_dtype: str | None = None) -> str:
+                image_dtype: str | None = None,
+                radar_dtype: str | None = None) -> str:
     """Featurizes ``dataset`` into ``cache_dir`` memmaps.  Idempotent.
 
     ``image_dtype``: storage dtype for the image modality — None (auto)
@@ -38,6 +65,18 @@ def build_cache(dataset, cache_dir: str, num_workers: int = 16,
     (the train step upcasts on device, train/steps.py::_upcast_f16).
     Non-integral images (e.g. the block-mean input_resolution shrink)
     auto-fall back to float16.  Pass "float16" to force.
+
+    LiDAR rides the same trick via a stored ``scale``: full-resolution BEV
+    maps are clip-counts/5 on a six-level grid (features.py:49-58), stored
+    as raw uint8 counts and divided back on device
+    (train/steps.py::_upcast_f16) — half the float16 bytes, value-exact.
+
+    ``radar_dtype="uint8"`` (opt-in, LOSSY): RA/RV maps are continuous
+    minmax-normalized [0, 1] (features.py::radar_maps), so uint8 storage
+    quantizes to round(v*255)/255 — absolute error <= 1/510 on top of the
+    default float16 rounding (~2^-11 relative).  Halves the now-largest
+    modality's bytes; worth it only when the input pipeline, not the chip,
+    bounds training (e.g. a bandwidth-limited host link).  Default float16.
     """
     os.makedirs(cache_dir, exist_ok=True)
     manifest_path = os.path.join(cache_dir, _MANIFEST)
@@ -48,16 +87,27 @@ def build_cache(dataset, cache_dir: str, num_workers: int = 16,
     first = dataset[0]
     specs = {}
     mms = {}
+    scales = {}
     for k in ("image", "lidar", "radar", "gps", "beam"):
         if k in first:
             dt = np.float16
+            scale = 1.0
             if k == "image" and image_dtype is None \
                     and _uint8_exact(np.asarray(first[k])):
                 dt = np.uint8
             elif k == "image" and image_dtype is not None:
                 dt = np.dtype(image_dtype)
+            elif k == "lidar" and _quantize_exact(
+                    first[k], HIST_MAX_PER_PIXEL) is not None:
+                dt = np.uint8
+                scale = float(HIST_MAX_PER_PIXEL)
+            elif k == "radar" and radar_dtype == "uint8":
+                dt = np.uint8
+                scale = RADAR_UINT8_SCALE
             shape = (n,) + np.asarray(first[k]).shape
-            specs[k] = {"shape": list(shape), "dtype": np.dtype(dt).name}
+            specs[k] = {"shape": list(shape), "dtype": np.dtype(dt).name,
+                        "scale": scale}
+            scales[k] = scale
             mms[k] = np.lib.format.open_memmap(
                 os.path.join(cache_dir, f"{k}.npy"), mode="w+",
                 dtype=dt, shape=shape)
@@ -72,6 +122,20 @@ def build_cache(dataset, cache_dir: str, num_workers: int = 16,
         s = dataset[i]
         for k, mm in mms.items():
             v = np.asarray(s[k])
+            if k == "radar" and mm.dtype == np.uint8:
+                # opt-in lossy fixed-point storage of the [0, 1] maps
+                mm[i] = np.rint(np.clip(v, 0.0, 1.0)
+                                * scales[k]).astype(np.uint8)
+                continue
+            if mm.dtype == np.uint8 and scales[k] != 1.0:
+                q = _quantize_exact(v, scales[k])
+                if q is None:
+                    raise ValueError(
+                        f"sample {i}'s {k} is not exactly uint8-quantizable "
+                        f"at scale {scales[k]} but the cache auto-selected "
+                        "uint8 from sample 0")
+                mm[i] = q
+                continue
             if mm.dtype == np.uint8 and not _uint8_exact(v):
                 raise ValueError(
                     f"sample {i}'s {k} is not uint8-exact but the cache "
@@ -126,6 +190,16 @@ class CachedBatchLoader:
         self.arrays: Dict[str, np.ndarray] = {
             k: np.load(os.path.join(cache_dir, f"{k}.npy"), mmap_mode="r")
             for k in m["specs"]}
+        self.scales = {k: float(s.get("scale", 1.0))
+                       for k, s in m["specs"].items()}
+        # Scaled-uint8 modalities ship raw over h2d only when the jitted
+        # step knows the convention (uint8 lidar == BEV counts /5, uint8
+        # radar == fixed-point /255, steps.py::_upcast_f16); anything else
+        # dequantizes host-side.
+        self._raw_ok = {
+            k for k, s in self.scales.items()
+            if s == 1.0 or (k == "lidar" and s == float(HIST_MAX_PER_PIXEL))
+            or (k == "radar" and s == RADAR_UINT8_SCALE)}
         if self.has_labels:
             self.beamidx = np.load(os.path.join(cache_dir, "beamidx.npy"))
         with open(os.path.join(cache_dir, "scenario.json")) as f:
@@ -149,7 +223,10 @@ class CachedBatchLoader:
             rng.shuffle(idx)
         for b in range(len(self)):
             sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
-            out = {k: v[sel] for k, v in self.arrays.items()}
+            out = {k: (v[sel] if k in self._raw_ok
+                       else v[sel].astype(np.float32)
+                       / np.float32(self.scales[k]))
+                   for k, v in self.arrays.items()}
             out["scenario"] = self.scenarios[sel]
             if self.has_labels:
                 out["beamidx"] = self.beamidx[sel]
@@ -167,6 +244,8 @@ class CachedDataset:
         self.arrays: Dict[str, np.ndarray] = {
             k: np.load(os.path.join(cache_dir, f"{k}.npy"), mmap_mode="r")
             for k in m["specs"]}
+        self.scales = {k: np.float32(s.get("scale", 1.0))
+                       for k, s in m["specs"].items()}
         if self.has_labels:
             self.beamidx = np.load(os.path.join(cache_dir, "beamidx.npy"))
         with open(os.path.join(cache_dir, "scenario.json")) as f:
@@ -176,7 +255,8 @@ class CachedDataset:
         return self.n
 
     def __getitem__(self, i: int) -> Dict:
-        out = {k: np.asarray(v[i], dtype=np.float32)
+        out = {k: (np.asarray(v[i], dtype=np.float32) if self.scales[k] == 1
+                   else np.asarray(v[i], np.float32) / self.scales[k])
                for k, v in self.arrays.items()}
         out["scenario"] = self.scenarios[i]
         if self.has_labels:

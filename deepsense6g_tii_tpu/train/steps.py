@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import optax
 
 from ..config import GlobalConfig
+from ..data.features import HIST_MAX_PER_PIXEL
 from .losses import cross_entropy_loss, focal_loss
 from .state import TrainState, set_learning_rate
 
@@ -33,12 +34,25 @@ def _upcast_f16(batch):
     storage dtype: camera frames — original AND reference-augmented — are
     uint8-valued) are value-exact, so the step math is identical to a
     host-upcast batch while the host copies and the host->device transfer
-    run at half / a quarter of the bytes.  int32 labels pass through; no-op
-    for float32 batches (same compiled program as before for them)."""
-    return jax.tree_util.tree_map(
-        lambda v: (v.astype(jnp.float32)
-                   if v.dtype in (jnp.float16, jnp.uint8) else v),
-        batch)
+    run at half / a quarter of the bytes.  A uint8 *lidar* leaf is the
+    cache's raw BEV clip-count storage (0..5 levels, data/cache.py): the
+    float32 division by HIST_MAX_PER_PIXEL here reconstructs
+    features.py::lidar_to_bev_np's hist/5 map bit-exactly on device.  A
+    uint8 *radar* leaf is the cache's opt-in lossy fixed-point storage of
+    the [0, 1] minmax maps (scale 255, data/cache.py::RADAR_UINT8_SCALE).
+    int32 labels pass through; no-op for float32 batches (same compiled
+    program as before for them)."""
+    def up(key, v):
+        if v.dtype == jnp.uint8 and key == "lidar":
+            return v.astype(jnp.float32) / jnp.float32(HIST_MAX_PER_PIXEL)
+        if v.dtype == jnp.uint8 and key == "radar":
+            return v.astype(jnp.float32) / jnp.float32(255.0)
+        if v.dtype in (jnp.float16, jnp.uint8):
+            return v.astype(jnp.float32)
+        return v
+
+    return {k: jax.tree_util.tree_map(functools.partial(up, k), v)
+            for k, v in batch.items()}
 
 
 def _compute_loss(cfg: GlobalConfig, loss_name: str, temp_coef: bool,

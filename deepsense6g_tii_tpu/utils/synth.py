@@ -24,7 +24,11 @@ def make_synth_batch(cfg, B: int, seed: int = 0, with_labels: bool = True):
         # integer-valued like real camera data (uint8 JPEG decodes) so the
         # cache's exact-uint8 image storage engages for synthetic runs too
         "image": rng.integers(0, 256, (B, T, H, H, 3)).astype(np.float32),
-        "lidar": rng.uniform(0, 1, (B, T, H, H, 1)).astype(np.float32),
+        # six-level clip-count/5 grid like real BEV maps
+        # (features.py::lidar_to_bev_np) so the cache's scaled-uint8 lidar
+        # storage engages for synthetic runs too
+        "lidar": (rng.integers(0, 6, (B, T, H, H, 1)).astype(np.float32)
+                  / np.float32(5.0)),
         "radar": rng.uniform(0, 1, (B, T, H, H, rc)).astype(np.float32),
         "gps": rng.normal(size=(B, cfg.gps_len, 2)).astype(np.float32),
     }
@@ -40,7 +44,7 @@ def make_synth_batch(cfg, B: int, seed: int = 0, with_labels: bool = True):
 
 
 def build_synth_cache(cfg, n: int, cache_dir: str, seed: int = 0,
-                      chunk: int = 64) -> str:
+                      chunk: int = 64, radar_dtype: str = "float16") -> str:
     """Writes ``n`` synthetic samples straight into the data/cache.py memmap
     cache format (float16 modality memmaps + beamidx + scenario + manifest),
     skipping the raw-tree decode.  Idempotent per directory.  Gives the
@@ -56,13 +60,18 @@ def build_synth_cache(cfg, n: int, cache_dir: str, seed: int = 0,
 
     keys = ("image", "lidar", "radar", "gps", "beam")
     first = make_synth_batch(cfg, 1, seed=seed)
-    specs, mms = {}, {}
+    specs, mms, scales = {}, {}, {}
     for k in keys:
         # image rides the cache's exact-uint8 storage (data/cache.py):
-        # half the f16 bytes on disk, in host copies, and over h2d
-        dt = np.uint8 if k == "image" else np.float16
+        # half the f16 bytes on disk, in host copies, and over h2d;
+        # lidar rides the scaled-uint8 clip-count storage (scale 5);
+        # radar optionally the lossy fixed-point uint8 storage (scale 255)
+        radar_u8 = k == "radar" and radar_dtype == "uint8"
+        dt = np.uint8 if k in ("image", "lidar") or radar_u8 else np.float16
+        scales[k] = 5.0 if k == "lidar" else (255.0 if radar_u8 else 1.0)
         shape = (n,) + first[k].shape[1:]
-        specs[k] = {"shape": list(shape), "dtype": np.dtype(dt).name}
+        specs[k] = {"shape": list(shape), "dtype": np.dtype(dt).name,
+                    "scale": scales[k]}
         mms[k] = np.lib.format.open_memmap(
             os.path.join(cache_dir, f"{k}.npy"), mode="w+",
             dtype=dt, shape=shape)
@@ -72,7 +81,9 @@ def build_synth_cache(cfg, n: int, cache_dir: str, seed: int = 0,
         hi = min(lo + chunk, n)
         b = make_synth_batch(cfg, hi - lo, seed=seed + 1 + lo)
         for k in keys:
-            mms[k][lo:hi] = b[k].astype(mms[k].dtype)
+            mms[k][lo:hi] = (np.rint(b[k] * scales[k]).astype(np.uint8)
+                             if scales[k] != 1.0
+                             else b[k].astype(mms[k].dtype))
         beamidx[lo:hi] = b["beamidx"]
     for mm in mms.values():
         mm.flush()

@@ -200,11 +200,13 @@ class TestCache:
         for a, b in zip(classic, fast):
             for k in ("image", "lidar", "radar", "gps", "beam"):
                 # image rides the exact-uint8 storage when the imagery is
-                # uint8-valued; everything else stays f16
-                assert b[k].dtype == (np.uint8 if k == "image"
+                # uint8-valued; lidar the scaled-uint8 clip-count storage
+                # (raw counts over h2d, /5 on device); everything else f16
+                assert b[k].dtype == (np.uint8 if k in ("image", "lidar")
                                       else np.float16)
-                np.testing.assert_array_equal(a[k],
-                                              b[k].astype(np.float32))
+                dq = (b[k].astype(np.float32) / np.float32(5.0)
+                      if k == "lidar" else b[k].astype(np.float32))
+                np.testing.assert_array_equal(a[k], dq)
             np.testing.assert_array_equal(a["beamidx"], b["beamidx"])
             np.testing.assert_array_equal(a["scenario"], b["scenario"])
         # second epoch reshuffles identically across the two loaders
@@ -239,6 +241,61 @@ class TestCache:
         d2 = build_cache(_Frac(), str(tmp_path / "c_frac"))
         with open(os.path.join(d2, "manifest.json")) as f:
             assert json.load(f)["specs"]["image"]["dtype"] == "float16"
+
+    def test_uint8_lidar_storage(self, tree, tmp_path):
+        """Full-resolution BEV maps are clip-counts/5 on a six-level grid
+        (features.py::lidar_to_bev_np): the cache stores the raw counts
+        uint8 with scale 5 in the manifest and both read paths reconstruct
+        the float32 map bit-exactly.  Off-grid maps (e.g. a block-mean
+        input_resolution shrink) fall back to float16."""
+        import json
+        root, csv = tree
+        ds = BeamDataset(root, csv, CFG)
+        d = build_cache(ds, str(tmp_path / "c_lid"))
+        with open(os.path.join(d, "manifest.json")) as f:
+            spec = json.load(f)["specs"]["lidar"]
+        assert spec["dtype"] == "uint8" and spec["scale"] == 5.0
+        a, b = ds[1], CachedDataset(d)[1]
+        assert b["lidar"].dtype == np.float32
+        np.testing.assert_array_equal(b["lidar"], a["lidar"])   # exact
+
+        class _OffGrid:
+            def __len__(self):
+                return 2
+
+            def __getitem__(self, i):
+                s = dict(ds[i])
+                s["lidar"] = s["lidar"] * 0.5 + 0.01   # off the /5 grid
+                return s
+
+        d2 = build_cache(_OffGrid(), str(tmp_path / "c_lid_f16"))
+        with open(os.path.join(d2, "manifest.json")) as f:
+            spec2 = json.load(f)["specs"]["lidar"]
+        assert spec2["dtype"] == "float16" and spec2["scale"] == 1.0
+
+    def test_uint8_radar_opt_in(self, tree, tmp_path):
+        """radar_dtype="uint8" (opt-in, lossy): continuous [0, 1] minmax
+        maps stored as fixed-point round(v*255) — absolute error <= 1/510;
+        CachedBatchLoader ships the raw uint8 (the step divides by 255 on
+        device) and CachedDataset dequantizes host-side.  Default float16
+        is unaffected."""
+        import json
+        from deepsense6g_tii_tpu.data.cache import CachedBatchLoader
+        root, csv = tree
+        ds = BeamDataset(root, csv, CFG)
+        d = build_cache(ds, str(tmp_path / "c_ru8"), radar_dtype="uint8")
+        with open(os.path.join(d, "manifest.json")) as f:
+            spec = json.load(f)["specs"]["radar"]
+        assert spec["dtype"] == "uint8" and spec["scale"] == 255.0
+        a, b = ds[1], CachedDataset(d)[1]
+        assert b["radar"].dtype == np.float32
+        np.testing.assert_allclose(b["radar"], a["radar"],
+                                   atol=0.5 / 255.0 + 1e-7)
+        fast = next(iter(CachedBatchLoader(d, batch_size=2)))
+        assert fast["radar"].dtype == np.uint8
+        np.testing.assert_array_equal(
+            fast["radar"][1].astype(np.float32) / np.float32(255.0),
+            b["radar"])
 
     def test_batch_loader_drop_last(self, tree, tmp_path):
         from deepsense6g_tii_tpu.data.cache import CachedBatchLoader

@@ -105,6 +105,36 @@ class TestTrainStep:
                                                        np.asarray(c)),
             s8.params, s32.params)
 
+    def test_uint8_lidar_batch_matches_f32(self, rng):
+        """A scaled-uint8 lidar batch (the cache's raw BEV clip-count
+        storage, scale 5) trains bit-identically to the same hist/5 values
+        fed as float32: _upcast_f16 divides by HIST_MAX_PER_PIXEL on device,
+        reconstructing features.py::lidar_to_bev_np's map exactly."""
+        model = TinyFuser(CFG)
+        b = make_batch(rng, B=4)
+        b = {k: v for k, v in b.items() if k != "scenario"}
+        counts = np.random.default_rng(7).integers(
+            0, 6, b["lidar"].shape).astype(np.uint8)
+        b8 = dict(b)
+        b8["lidar"] = counts
+        b["lidar"] = counts.astype(np.float32) / np.float32(5.0)
+        tx = make_optimizer()
+        variables = model.init(jax.random.PRNGKey(0), b["image"],
+                               b["lidar"], b["radar"], b["gps"])
+        step = make_train_step(model, CFG, tx)
+        s8 = create_train_state(variables, tx)
+        s32 = create_train_state(
+            jax.tree_util.tree_map(lambda x: jnp.array(np.asarray(x)),
+                                   variables), tx)
+        for _ in range(3):
+            s8, m8 = step(s8, b8, 1e-2)
+            s32, m32 = step(s32, b, 1e-2)
+        assert float(m8["loss"]) == float(m32["loss"])
+        jax.tree_util.tree_map(
+            lambda a, c: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(c)),
+            s8.params, s32.params)
+
     def test_multi_step_matches_sequential(self, rng):
         """K steps fused in one lax.scan dispatch produce the exact same
         trajectory (params, opt state, EMA, losses) as K single-step

@@ -17,8 +17,9 @@ Env knobs mirror bench.py: DEEPSENSE_BENCH_ARCH (gpt|mamba), _B, _K,
 _GRAD_ACCUM, plus DEEPSENSE_BENCH_N (samples/epoch, default 1024),
 DEEPSENSE_BENCH_EPOCHS (timed epochs, default 2), DEEPSENSE_BENCH_LOADER
 (fast|classic: CachedBatchLoader vs DataLoader(CachedDataset) A/B),
-DEEPSENSE_BENCH_STEP_SPS (step-only samples/s/chip for pct_of_step,
-default: the arch's BENCH_r02-era number).
+DEEPSENSE_BENCH_RADAR (float16|uint8: the cache's opt-in lossy radar
+fixed-point storage, data/cache.py), DEEPSENSE_BENCH_STEP_SPS (step-only
+samples/s/chip for pct_of_step, default: the arch's BENCH_r02-era number).
 """
 
 import json
@@ -58,6 +59,7 @@ def main():
     EPOCHS = int(os.environ.get("DEEPSENSE_BENCH_EPOCHS", "2"))
     loader_kind = os.environ.get("DEEPSENSE_BENCH_LOADER", "fast")
 
+    radar_dtype = os.environ.get("DEEPSENSE_BENCH_RADAR", "float16")
     res = int(os.environ.get("DEEPSENSE_BENCH_RES", "256"))
     cfg = GlobalConfig(use_pallas_scan=on_tpu,
                        compute_dtype="bfloat16" if on_tpu else "float32",
@@ -71,11 +73,12 @@ def main():
                        vert_anchors=max(res // 32, 1),
                        horz_anchors=max(res // 32, 1))
 
+    suffix = "_ru8" if radar_dtype == "uint8" else ""
     cache_dir = os.environ.get(
         "DEEPSENSE_BENCH_CACHE",
-        f"/tmp/ds6g_engine_cache_r{cfg.input_resolution}_n{N}")
+        f"/tmp/ds6g_engine_cache_r{cfg.input_resolution}_n{N}{suffix}")
     t0 = time.perf_counter()
-    build_synth_cache(cfg, N, cache_dir)
+    build_synth_cache(cfg, N, cache_dir, radar_dtype=radar_dtype)
     print(f"cache: {cache_dir} ({N} samples, "
           f"{time.perf_counter() - t0:.1f}s)", file=sys.stderr)
 
