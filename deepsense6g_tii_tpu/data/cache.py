@@ -21,6 +21,19 @@ from .features import HIST_MAX_PER_PIXEL
 
 _MANIFEST = "manifest.json"
 
+# Bumped whenever the on-disk layout of any modality changes (v2: exact-uint8
+# image + scaled-uint8 lidar clip-count storage).  build_cache/build_synth_cache
+# rebuild stale-version dirs instead of silently serving the old layout.
+CACHE_FORMAT_VERSION = 2
+
+
+class _QuantizeMismatch(ValueError):
+    """A later sample broke the uint8 storage auto-selected from sample 0."""
+
+    def __init__(self, key: str, msg: str):
+        super().__init__(msg)
+        self.key = key
+
 
 def _uint8_exact(a: np.ndarray) -> bool:
     """True when ``a`` is exactly representable as uint8 (integral 0..255)."""
@@ -54,7 +67,8 @@ RADAR_UINT8_SCALE = 255.0
 
 def build_cache(dataset, cache_dir: str, num_workers: int = 16,
                 image_dtype: str | None = None,
-                radar_dtype: str | None = None) -> str:
+                radar_dtype: str | None = None,
+                lidar_dtype: str | None = None) -> str:
     """Featurizes ``dataset`` into ``cache_dir`` memmaps.  Idempotent.
 
     ``image_dtype``: storage dtype for the image modality — None (auto)
@@ -77,11 +91,36 @@ def build_cache(dataset, cache_dir: str, num_workers: int = 16,
     default float16 rounding (~2^-11 relative).  Halves the now-largest
     modality's bytes; worth it only when the input pipeline, not the chip,
     bounds training (e.g. a bandwidth-limited host link).  Default float16.
+
+    ``lidar_dtype="float16"`` forces float16 lidar storage (disables the
+    scaled-uint8 auto-selection).  In auto mode, if a later sample falls off
+    the six-level grid after sample 0 committed the cache to uint8, the
+    build transparently restarts with that modality forced to float16
+    instead of failing.
     """
     os.makedirs(cache_dir, exist_ok=True)
     manifest_path = os.path.join(cache_dir, _MANIFEST)
     if os.path.exists(manifest_path):
-        return cache_dir
+        with open(manifest_path) as f:
+            existing = json.load(f)
+        if existing.get("format_version") == CACHE_FORMAT_VERSION:
+            # Lossy-vs-exact radar storage changes the values served — never
+            # silently swap one for the other under an existing manifest.
+            want_radar = "uint8" if radar_dtype == "uint8" else "float16"
+            have_radar = existing.get("specs", {}).get(
+                "radar", {}).get("dtype", "float16")
+            if "radar" in existing.get("specs", {}) \
+                    and have_radar != want_radar:
+                raise ValueError(
+                    f"cache at {cache_dir} was built with radar dtype "
+                    f"{have_radar!r} but radar_dtype={radar_dtype!r} was "
+                    "requested; delete the cache dir or pass the matching "
+                    "radar_dtype")
+            return cache_dir
+        # stale on-disk layout from an older framework revision: rebuild
+        for fn in os.listdir(cache_dir):
+            if fn.endswith((".npy", ".json")):
+                os.remove(os.path.join(cache_dir, fn))
 
     n = len(dataset)
     first = dataset[0]
@@ -97,10 +136,12 @@ def build_cache(dataset, cache_dir: str, num_workers: int = 16,
                 dt = np.uint8
             elif k == "image" and image_dtype is not None:
                 dt = np.dtype(image_dtype)
-            elif k == "lidar" and _quantize_exact(
+            elif k == "lidar" and lidar_dtype is None and _quantize_exact(
                     first[k], HIST_MAX_PER_PIXEL) is not None:
                 dt = np.uint8
                 scale = float(HIST_MAX_PER_PIXEL)
+            elif k == "lidar" and lidar_dtype is not None:
+                dt = np.dtype(lidar_dtype)
             elif k == "radar" and radar_dtype == "uint8":
                 dt = np.uint8
                 scale = RADAR_UINT8_SCALE
@@ -130,24 +171,40 @@ def build_cache(dataset, cache_dir: str, num_workers: int = 16,
             if mm.dtype == np.uint8 and scales[k] != 1.0:
                 q = _quantize_exact(v, scales[k])
                 if q is None:
-                    raise ValueError(
+                    raise _QuantizeMismatch(
+                        k,
                         f"sample {i}'s {k} is not exactly uint8-quantizable "
                         f"at scale {scales[k]} but the cache auto-selected "
                         "uint8 from sample 0")
                 mm[i] = q
                 continue
             if mm.dtype == np.uint8 and not _uint8_exact(v):
-                raise ValueError(
+                raise _QuantizeMismatch(
+                    k,
                     f"sample {i}'s {k} is not uint8-exact but the cache "
-                    "auto-selected uint8 from sample 0; rebuild with "
-                    "image_dtype='float16'")
+                    "auto-selected uint8 from sample 0")
             mm[i] = v.astype(mm.dtype)
         if has_labels:
             beamidx[i] = s["beamidx"]
         scenarios[i] = s.get("scenario", "")
 
-    with cf.ThreadPoolExecutor(num_workers) as pool:
-        list(pool.map(work, range(n)))
+    try:
+        with cf.ThreadPoolExecutor(num_workers) as pool:
+            list(pool.map(work, range(n)))
+    except _QuantizeMismatch as e:
+        # a later sample broke the uint8 storage auto-selected from sample
+        # 0: transparently restart with that modality forced to float16
+        # (only auto-selected modalities can land here — explicit overrides
+        # never take the uint8 branch)
+        mms.clear()          # drop memmap refs before unlinking their files
+        for fn in os.listdir(cache_dir):
+            if fn.endswith((".npy", ".json")):
+                os.remove(os.path.join(cache_dir, fn))
+        return build_cache(
+            dataset, cache_dir, num_workers=num_workers,
+            image_dtype=("float16" if e.key == "image" else image_dtype),
+            radar_dtype=radar_dtype,
+            lidar_dtype=("float16" if e.key == "lidar" else lidar_dtype))
     for mm in mms.values():
         mm.flush()
 
@@ -156,7 +213,8 @@ def build_cache(dataset, cache_dir: str, num_workers: int = 16,
     with open(os.path.join(cache_dir, "scenario.json"), "w") as f:
         json.dump(scenarios, f)
     with open(manifest_path, "w") as f:
-        json.dump({"n": n, "specs": specs, "has_labels": has_labels}, f)
+        json.dump({"n": n, "specs": specs, "has_labels": has_labels,
+                   "format_version": CACHE_FORMAT_VERSION}, f)
     return cache_dir
 
 

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import optax
 
 from ..config import GlobalConfig
+from ..data.cache import RADAR_UINT8_SCALE
 from ..data.features import HIST_MAX_PER_PIXEL
 from .losses import cross_entropy_loss, focal_loss
 from .state import TrainState, set_learning_rate
@@ -46,7 +47,7 @@ def _upcast_f16(batch):
         if v.dtype == jnp.uint8 and key == "lidar":
             return v.astype(jnp.float32) / jnp.float32(HIST_MAX_PER_PIXEL)
         if v.dtype == jnp.uint8 and key == "radar":
-            return v.astype(jnp.float32) / jnp.float32(255.0)
+            return v.astype(jnp.float32) / jnp.float32(RADAR_UINT8_SCALE)
         if v.dtype in (jnp.float16, jnp.uint8):
             return v.astype(jnp.float32)
         return v

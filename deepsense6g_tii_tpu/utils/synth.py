@@ -53,10 +53,24 @@ def build_synth_cache(cfg, n: int, cache_dir: str, seed: int = 0,
     import json
     import os
 
+    from ..data.cache import CACHE_FORMAT_VERSION
+
     os.makedirs(cache_dir, exist_ok=True)
     manifest = os.path.join(cache_dir, "manifest.json")
     if os.path.exists(manifest):
-        return cache_dir
+        with open(manifest) as f:
+            existing = json.load(f)
+        want_radar = "uint8" if radar_dtype == "uint8" else "float16"
+        if existing.get("format_version") == CACHE_FORMAT_VERSION \
+                and existing.get("specs", {}).get("radar", {}).get(
+                    "dtype") == want_radar \
+                and existing.get("n") == n:
+            return cache_dir
+        # stale layout version / different radar storage / different size:
+        # synthetic data is cheap — rebuild instead of silently serving it
+        for fn in os.listdir(cache_dir):
+            if fn.endswith((".npy", ".json")):
+                os.remove(os.path.join(cache_dir, fn))
 
     keys = ("image", "lidar", "radar", "gps", "beam")
     first = make_synth_batch(cfg, 1, seed=seed)
@@ -94,5 +108,6 @@ def build_synth_cache(cfg, n: int, cache_dir: str, seed: int = 0,
     with open(os.path.join(cache_dir, "scenario.json"), "w") as f:
         json.dump(scen, f)
     with open(manifest, "w") as f:
-        json.dump({"n": n, "specs": specs, "has_labels": True}, f)
+        json.dump({"n": n, "specs": specs, "has_labels": True,
+                   "format_version": CACHE_FORMAT_VERSION}, f)
     return cache_dir

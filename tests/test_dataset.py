@@ -297,6 +297,82 @@ class TestCache:
             fast["radar"][1].astype(np.float32) / np.float32(255.0),
             b["radar"])
 
+    def test_lidar_dtype_override(self, tree, tmp_path):
+        """lidar_dtype="float16" forces float16 storage even when every map
+        sits on the six-level grid (mirror of image_dtype, ADVICE r3)."""
+        import json
+        root, csv = tree
+        ds = BeamDataset(root, csv, CFG)
+        d = build_cache(ds, str(tmp_path / "c_lidf16"),
+                        lidar_dtype="float16")
+        with open(os.path.join(d, "manifest.json")) as f:
+            spec = json.load(f)["specs"]["lidar"]
+        assert spec["dtype"] == "float16" and spec["scale"] == 1.0
+
+    def test_midbuild_quantize_fallback(self, tree, tmp_path):
+        """Sample 0 on the uint8 grid but a later sample off it: the build
+        transparently restarts with that modality forced to float16 instead
+        of dying mid-build (ADVICE r3 medium)."""
+        import json
+        root, csv = tree
+        ds = BeamDataset(root, csv, CFG)
+
+        class _Tricky:
+            def __len__(self):
+                return 3
+
+            def __getitem__(self, i):
+                s = dict(ds[i])
+                if i == 0:
+                    s["lidar"] = np.zeros_like(s["lidar"])   # on-grid
+                    s["image"] = np.zeros_like(s["image"])   # uint8-exact
+                else:
+                    s["lidar"] = s["lidar"] * 0.5 + 0.01     # off-grid
+                    s["image"] = s["image"] + 0.25           # non-integral
+                return s
+
+        tds = _Tricky()
+        d = build_cache(tds, str(tmp_path / "c_trick"), num_workers=2)
+        with open(os.path.join(d, "manifest.json")) as f:
+            specs = json.load(f)["specs"]
+        assert specs["lidar"]["dtype"] == "float16"
+        assert specs["image"]["dtype"] == "float16"
+        cds = CachedDataset(d)
+        np.testing.assert_allclose(cds[2]["lidar"], tds[2]["lidar"],
+                                   atol=1e-3)
+
+    def test_radar_dtype_mismatch_raises(self, tree, tmp_path):
+        """An existing manifest with a different radar storage mode must not
+        be silently served (lossy vs exact values differ, ADVICE r3)."""
+        import pytest
+        root, csv = tree
+        ds = BeamDataset(root, csv, CFG)
+        d = str(tmp_path / "c_swap")
+        build_cache(ds, d)
+        with pytest.raises(ValueError, match="radar dtype"):
+            build_cache(ds, d, radar_dtype="uint8")
+        build_cache(ds, d)    # matching request still idempotent
+
+    def test_stale_format_version_rebuilds(self, tree, tmp_path):
+        """A manifest from an older layout revision (no/old format_version)
+        is rebuilt, not silently reused (ADVICE r3)."""
+        import json
+        from deepsense6g_tii_tpu.data.cache import CACHE_FORMAT_VERSION
+        root, csv = tree
+        ds = BeamDataset(root, csv, CFG)
+        d = build_cache(ds, str(tmp_path / "c_ver"))
+        mp = os.path.join(d, "manifest.json")
+        with open(mp) as f:
+            m = json.load(f)
+        m.pop("format_version")
+        with open(mp, "w") as f:
+            json.dump(m, f)
+        build_cache(ds, d)
+        with open(mp) as f:
+            assert json.load(f)["format_version"] == CACHE_FORMAT_VERSION
+        a, b = ds[1], CachedDataset(d)[1]
+        np.testing.assert_allclose(b["lidar"], a["lidar"], atol=1e-3)
+
     def test_batch_loader_drop_last(self, tree, tmp_path):
         from deepsense6g_tii_tpu.data.cache import CachedBatchLoader
         root, csv = tree
