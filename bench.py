@@ -112,7 +112,12 @@ def main():
                        # mamba path: 1024-padded token stream (no per-scan
                        # pad/slice; exact — config.padded_token_stream)
                        padded_token_stream=os.environ.get(
-                           "DEEPSENSE_BENCH_PADDED", "0") == "1")
+                           "DEEPSENSE_BENCH_PADDED", "0") == "1",
+                       # mamba path: reverse-direction backward branch
+                       # (reversed-grid scan kernel, no whole-stream flip
+                       # — config.reverse_scan_kernel)
+                       reverse_scan_kernel=os.environ.get(
+                           "DEEPSENSE_BENCH_REVERSE_SCAN", "0") == "1")
     model = BeamFuser(cfg)
     batch = make_synth_batch(cfg, B)
 

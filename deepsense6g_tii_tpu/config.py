@@ -111,6 +111,16 @@ class GlobalConfig:
     # Ignored on the GPT path (attention would need in-kernel real-length
     # masking; its per-call pad is already cheap there).
     padded_token_stream: bool = False
+    # Mamba-path only: run each block's backward-direction branch as a
+    # REVERSE Mamba over the natural-order stream (anticausal conv +
+    # reversed-grid selective-scan kernel, chunks visited last-to-first)
+    # instead of materializing jnp.flip of the whole (B, 962, C) stream
+    # before in_proj/fc2.  The two output flips it leaves behind are
+    # elementwise-fusible (XLA folds them into the gated combine), where
+    # the input flip feeds matmuls and must materialize.  Same parameters
+    # and math modulo conv-window float reduction order.  Ignored when
+    # padded_token_stream is on (trailing pads would be scanned first).
+    reverse_scan_kernel: bool = False
     # Adam first-moment (mu) storage dtype: None = f32 (exact torch-AdamW
     # trajectory).  "bfloat16" halves mu's HBM (103M params -> 207 MB saved)
     # — enough to fit batch 16 without rematerialization on a 16G v5e.  The

@@ -115,6 +115,7 @@ class FusionEncoder(nn.Module):
                 expand=cfg.expand,
                 use_pallas=cfg.use_pallas_scan,
                 padded_stream=cfg.padded_token_stream,
+                reverse_scan_kernel=cfg.reverse_scan_kernel,
                 dtype=dtype,
                 name=f"fusion{i + 1}")
             for i in range(4)

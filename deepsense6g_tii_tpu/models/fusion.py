@@ -187,6 +187,17 @@ class MambaBlock(nn.Module):
     expand: int = 2
     use_pallas: bool = True
     n_real: int | None = None
+    # Run the backward branch as a REVERSE-direction Mamba over the
+    # natural-order stream (anticausal conv + reversed-grid scan kernel,
+    # ops/mamba.py::Mamba(reverse=True)) instead of materializing
+    # jnp.flip(x_fc1) before in_proj/fc2.  The combine then flips the two
+    # branch OUTPUTS — elementwise-fusible reverses XLA folds into the
+    # combine, where the input flip feeds matmuls and must materialize.
+    # Same parameter tree and math (conv-window reduction order aside).
+    # Dense streams only: with a padded stream (n_real set) the trailing
+    # pads would be scanned FIRST by the reverse scan and their garbage
+    # would reach real tokens, so the flip path is kept there.
+    reverse_kernel: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -204,9 +215,9 @@ class MambaBlock(nn.Module):
         # Linear of these Mambas with N(0, 0.02) / zero bias
         # (mambafuser_seq.py:138,143-147) — TimeMamba's Mamba is NOT under
         # that apply and keeps mamba_ssm inits
-        mamba = lambda name: Mamba(
+        mamba = lambda name, rev=False: Mamba(
             d_model=self.n_embd, d_state=self.d_state, d_conv=self.d_conv,
-            expand=self.expand, use_pallas=self.use_pallas,
+            expand=self.expand, use_pallas=self.use_pallas, reverse=rev,
             compute_dtype=self.dtype, init_style="gpt2", name=name)
         # NOTE: merging the two direction scans into one grouped-A pallas
         # launch (ops/mamba.py bidirectional_scan) measured SLOWER e2e on
@@ -214,6 +225,17 @@ class MambaBlock(nn.Module):
         # concats of u/dt/B/C cost more HBM traffic than the halved kernel
         # launches save.  Two separate calls stay the default.
         x_fm = mamba("forward_mamba")(x_fc1)
+        if self.reverse_kernel and not padded:
+            # reverse-direction branch over the natural-order stream; the
+            # whole-stream input flip becomes two OUTPUT flips that fuse
+            # into the combine (see field docstring).  Identical params.
+            y_bm = mamba("backward_mamba", rev=True)(x_fc1)
+            y_fc2 = nn.Dense(self.n_embd, kernel_init=_DENSE_INIT,
+                             dtype=self.dtype, name="fc2")(x_fc1)
+            y_relu = nn.leaky_relu(y_fc2, negative_slope=0.2)
+            x_bm = jnp.flip(y_bm, axis=1)
+            x_relu = jnp.flip(y_relu, axis=1)
+            return x_bm * x_relu + x_fm * x_bm
         if padded:
             # reverse the real prefix, keep pads TRAILING: position i holds
             # token t_{n_real-1-i} exactly as the dense flip, and no pad
@@ -266,6 +288,8 @@ class TokenFusion(nn.Module):
     # carry the stream padded to the next 128-multiple through the mamba
     # blocks (config.padded_token_stream) — no per-scan pad/slice; exact
     padded_stream: bool = False
+    # reverse-direction backward branch (MambaBlock.reverse_kernel)
+    reverse_scan_kernel: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -327,6 +351,7 @@ class TokenFusion(nn.Module):
                 x = MambaBlock(self.n_embd, self.n_tokens, self.d_state,
                                self.d_conv, self.expand,
                                use_pallas=self.use_pallas, n_real=n_real,
+                               reverse_kernel=self.reverse_scan_kernel,
                                dtype=self.dtype,
                                name=f"block{i}")(x)
         else:

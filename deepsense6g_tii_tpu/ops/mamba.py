@@ -84,6 +84,14 @@ class Mamba(nn.Module):
     #   blocks start at dt = softplus(~0) ~= 0.69
     #   (mambafuser_seq.py:138,143-147; model2_seq.py:190,195-201).
     init_style: str = "mamba_ssm"
+    # Right-to-left layer over NATURAL-order input: anticausal conv
+    # (width-flipped weights, right padding) + reverse selective scan.
+    # Mamba(reverse=True)(x) == flip(Mamba(flip(x))) with the same
+    # parameters (up to conv-window float reduction order) and ZERO
+    # materialized flips of the (B, L, d) stream — the bi-directional
+    # MambaBlock's backward branch (models/fusion.py:216-231) uses it to
+    # drop its whole-stream jnp.flip before in_proj.
+    reverse: bool = False
 
     @property
     def _d_inner(self) -> int:
@@ -144,11 +152,19 @@ class Mamba(nn.Module):
         xz = self.in_proj(x.astype(cdt))
         xs, z = jnp.split(xz, 2, axis=-1)
 
-        # causal depthwise conv over time: (B, L, d_inner), left-pad d_conv-1
+        # causal depthwise conv over time: (B, L, d_inner), left-pad d_conv-1.
+        # reverse mode: anticausal — conv(flip(x), w)[t] at flipped position
+        # L-1-t equals correlation of x with the width-flipped kernel over
+        # [t, t+d_conv-1], i.e. flipped weights + right padding.
+        w = self.conv1d_weight
+        pad_lr = (self.d_conv - 1, 0)
+        if self.reverse:
+            w = jnp.flip(w, axis=0)
+            pad_lr = (0, self.d_conv - 1)
         xs = jax.lax.conv_general_dilated(
-            xs.astype(cdt), self.conv1d_weight.astype(cdt),
+            xs.astype(cdt), w.astype(cdt),
             window_strides=(1,),
-            padding=[(self.d_conv - 1, 0)],
+            padding=[pad_lr],
             dimension_numbers=("NHC", "HIO", "NHC"),
             feature_group_count=d_inner,
         ) + self.conv1d_bias.astype(cdt)
@@ -172,9 +188,11 @@ class Mamba(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         pre = self.pre_scan(x)
         if self.kernel_eligible():
-            y = selective_scan(pre.xs, pre.dt, pre.A, pre.B, pre.C)
+            y = selective_scan(pre.xs, pre.dt, pre.A, pre.B, pre.C,
+                               reverse=self.reverse)
         else:
-            y = selective_scan_ref(pre.xs, pre.dt, pre.A, pre.B, pre.C)
+            y = selective_scan_ref(pre.xs, pre.dt, pre.A, pre.B, pre.C,
+                                   reverse=self.reverse)
         return self.post_scan(y, pre).astype(x.dtype)
 
 

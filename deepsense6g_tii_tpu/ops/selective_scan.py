@@ -56,11 +56,20 @@ BWD_BD = 128
 
 
 def selective_scan_ref(u: jnp.ndarray, dt: jnp.ndarray, A: jnp.ndarray,
-                       B: jnp.ndarray, C: jnp.ndarray) -> jnp.ndarray:
+                       B: jnp.ndarray, C: jnp.ndarray,
+                       reverse: bool = False) -> jnp.ndarray:
     """Associative-scan reference.
 
     u, dt: (b, L, d);  A: (d, n);  B, C: (b, L, n).  Returns (b, L, d) f32.
+
+    ``reverse=True`` runs the recurrence right-to-left —
+    ``flip(scan(flip(inputs)))`` — so a bi-directional MambaBlock's backward
+    branch can consume natural-order tensors (models/fusion.py).
     """
+    if reverse:
+        flip = functools.partial(jnp.flip, axis=1)
+        return flip(selective_scan_ref(flip(u), flip(dt), A,
+                                       flip(B), flip(C)))
     u = u.astype(jnp.float32)
     dt = dt.astype(jnp.float32)
     A = A.astype(jnp.float32)
@@ -166,6 +175,34 @@ def _chunk_scan(a1, bb, h_in):
     return jnp.stack(hs, axis=1).reshape((T,) + bb.shape[1:])
 
 
+def _chunk_scan_rev(a1, bb, g_in):
+    """Right-to-left mirror of :func:`_chunk_scan`:
+    h[t] = a1[t] * h[t+1] + bb[t], entry state ``g_in`` from the right.
+
+    Same two-level structure (sequential sweeps inside SEG-wide segments +
+    doubling over segment carries) with every loop direction mirrored — no
+    in-VMEM data reversal, so the Mosaic lowering is identical to the
+    forward body's."""
+    T = a1.shape[0]
+    G = T // SEG
+    a4 = a1.reshape((G, SEG) + a1.shape[1:])
+    b4 = bb.reshape((G, SEG) + bb.shape[1:])
+    # sweep 1: per-segment carry (decay product, zero-entry LEFT-end state)
+    aa, t = a4[:, SEG - 1], b4[:, SEG - 1]
+    for s in range(SEG - 2, -1, -1):
+        t = b4[:, s] + a4[:, s] * t
+        aa = aa * a4[:, s]
+    r_in_seg = _segment_suffix(aa, t, g_in)
+    # sweep 2: in-segment states descending with the right entry folded in
+    hs = [None] * SEG
+    h = b4[:, SEG - 1] + a4[:, SEG - 1] * r_in_seg
+    hs[SEG - 1] = h
+    for s in range(SEG - 2, -1, -1):
+        h = b4[:, s] + a4[:, s] * h
+        hs[s] = h
+    return jnp.stack(hs, axis=1).reshape((T,) + bb.shape[1:])
+
+
 def _fwd_kernel_chunked(u_ref, dt_ref, b_ref, c_ref, at_ref,
                         y_ref, hin_ref, hout_ref, h_scr):
     lc = pl.program_id(2)
@@ -192,6 +229,40 @@ def _fwd_kernel_chunked(u_ref, dt_ref, b_ref, c_ref, at_ref,
     @pl.when(lc == pl.num_programs(2) - 1)
     def _():
         hout_ref[0] = h[BL - 1]
+
+
+def _fwd_kernel_chunked_rev(u_ref, dt_ref, b_ref, c_ref, at_ref,
+                            y_ref, hin_ref, hout_ref, h_scr):
+    """Reverse-direction forward: chunks are visited last-to-first (the
+    wrapper's index maps) and the in-chunk recurrence runs right-to-left,
+    so the kernel consumes NATURAL-order inputs and emits natural-order
+    outputs — the caller's ``jnp.flip`` of the whole stream disappears.
+    ``hin`` stores the state entering each chunk from the RIGHT (keyed by
+    chunk index, not visit order) for the backward's reconstruction."""
+    lc = pl.program_id(2)
+
+    @pl.when(lc == 0)
+    def _():
+        h_scr[...] = jnp.zeros_like(h_scr)
+
+    hin_ref[0, 0] = h_scr[...]
+
+    A_t = at_ref[0]                                        # (n, BD)
+    dt = dt_ref[0].astype(jnp.float32)                     # (BL, BD)
+    u = u_ref[0].astype(jnp.float32)
+    Bv = b_ref[0].astype(jnp.float32)                      # (BL, n)
+    Cv = c_ref[0].astype(jnp.float32)
+
+    a1 = jnp.exp(dt[:, None, :] * A_t[None])               # (BL, n, BD)
+    bb = Bv[:, :, None] * (dt * u)[:, None, :]             # (BL, n, BD)
+    h = _chunk_scan_rev(a1, bb, h_scr[...])                # (BL, n, BD)
+
+    y_ref[0] = jnp.sum(h * Cv[:, :, None], axis=1).astype(y_ref.dtype)
+    h_scr[...] = h[0]
+
+    @pl.when(lc == pl.num_programs(2) - 1)
+    def _():
+        hout_ref[0] = h[0]
 
 
 def _fwd_kernel_sequential(u_ref, dt_ref, b_ref, c_ref, at_ref,
@@ -223,10 +294,15 @@ def _fwd_kernel_sequential(u_ref, dt_ref, b_ref, c_ref, at_ref,
         hout_ref[0] = h
 
 
-def _scan_fwd_pallas(u, dt, B, C, A_t, variant, interpret=False):
+def _scan_fwd_pallas(u, dt, B, C, A_t, variant, interpret=False,
+                     reverse=False):
     """A_t: (G, n, d) — G parameter groups over equal batch slices (G=1 is
     the plain shared-A scan; G=2 is the merged bi-directional MambaBlock
-    call, both direction branches in one kernel launch)."""
+    call, both direction branches in one kernel launch).
+
+    ``reverse=True`` (chunked only): right-to-left recurrence over natural-
+    order inputs — grid steps visit chunks last-to-first via the index maps,
+    the in-chunk sweeps run mirrored (:func:`_chunk_scan_rev`)."""
     b, L, d = u.shape
     n = B.shape[-1]
     BD = min(FWD_BD, d)
@@ -234,22 +310,30 @@ def _scan_fwd_pallas(u, dt, B, C, A_t, variant, interpret=False):
     nd = d // BD
     grid = (b, nd, nc)
     bg = b // A_t.shape[0]          # batch rows per parameter group
-    kernel = (_fwd_kernel_chunked if variant == "chunked"
-              else _fwd_kernel_sequential)
+    if reverse:
+        if variant != "chunked":
+            raise ValueError("reverse scan supports only variant='chunked'")
+        kernel = _fwd_kernel_chunked_rev
+        ck = lambda k: nc - 1 - k   # chunk visited at grid step k
+    else:
+        kernel = (_fwd_kernel_chunked if variant == "chunked"
+                  else _fwd_kernel_sequential)
+        ck = lambda k: k
 
     y, h_in, h_out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, BL, BD), lambda i, j, k: (i, k, j)),   # u
-            pl.BlockSpec((1, BL, BD), lambda i, j, k: (i, k, j)),   # dt
-            pl.BlockSpec((1, BL, n), lambda i, j, k: (i, k, 0)),    # B
-            pl.BlockSpec((1, BL, n), lambda i, j, k: (i, k, 0)),    # C
+            pl.BlockSpec((1, BL, BD), lambda i, j, k: (i, ck(k), j)),   # u
+            pl.BlockSpec((1, BL, BD), lambda i, j, k: (i, ck(k), j)),   # dt
+            pl.BlockSpec((1, BL, n), lambda i, j, k: (i, ck(k), 0)),    # B
+            pl.BlockSpec((1, BL, n), lambda i, j, k: (i, ck(k), 0)),    # C
             pl.BlockSpec((1, n, BD), lambda i, j, k: (i // bg, 0, j)),  # A.T
         ],
         out_specs=[
-            pl.BlockSpec((1, BL, BD), lambda i, j, k: (i, k, j)),       # y
-            pl.BlockSpec((1, 1, n, BD), lambda i, j, k: (i, k, 0, j)),  # h_in
+            pl.BlockSpec((1, BL, BD), lambda i, j, k: (i, ck(k), j)),     # y
+            pl.BlockSpec((1, 1, n, BD),
+                         lambda i, j, k: (i, ck(k), 0, j)),             # h_in
             pl.BlockSpec((1, n, BD), lambda i, j, k: (i, 0, j)),        # h_out
         ],
         out_shape=[
@@ -362,7 +446,104 @@ def _bwd_kernel_chunked(u_ref, dt_ref, b_ref, c_ref, at_ref, hin_ref, dy_ref,
         da_ref[0] = da_ref[0] + da_acc
 
 
-def _scan_bwd_pallas(u, dt, B, C, A_t, h_in, dy, interpret=False):
+def _bwd_kernel_chunked_rev(u_ref, dt_ref, b_ref, c_ref, at_ref, hin_ref,
+                            dy_ref, du_ref, ddt_ref, db_ref, dc_ref, da_ref,
+                            g_scr):
+    """Backward of the REVERSE scan — every direction mirrored vs
+    :func:`_bwd_kernel_chunked`.  The primal h[t] = a1[t] h[t+1] + bb[t]
+    flows right-to-left, so its gradient recurrence
+    g[t] = q[t] + a1[t-1] g[t-1] flows LEFT-to-right: chunks are visited
+    in natural order, phase 1 reconstructs states descending from the
+    chunk's right-entry state (saved by the forward), phase 2 runs the
+    ascending p = a1*g recurrence with ah_t = a1_t * h_{t+1} in place of
+    the forward-direction kernel's a1_t * h_{t-1}."""
+    lc = pl.program_id(2)
+
+    @pl.when(lc == 0)   # natural order: first grid step is chunk 0
+    def _():
+        g_scr[...] = jnp.zeros_like(g_scr)
+
+    A_t = at_ref[0]                                        # (n, BD)
+    dt = dt_ref[0].astype(jnp.float32)                     # (BL, BD)
+    u = u_ref[0].astype(jnp.float32)
+    dy = dy_ref[0].astype(jnp.float32)                     # (BL, BD)
+    h_in = hin_ref[0, 0]                                   # (n, BD)
+    n = b_ref.shape[-1]
+    G = BL // SEG
+
+    a1 = jnp.exp(dt[:, None, :] * A_t[None])               # (BL, n, BD)
+    a4 = a1.reshape((G, SEG) + a1.shape[1:])
+    B4 = b_ref[0].astype(jnp.float32).reshape(G, SEG, n)
+    C4 = c_ref[0].astype(jnp.float32).reshape(G, SEG, n)
+    dt4 = dt.reshape(G, SEG, -1)
+    u4 = u.reshape(G, SEG, -1)
+    dtu4 = (dt * u).reshape(G, SEG, -1)
+    dy4 = dy.reshape(G, SEG, -1)
+
+    def bb(s):                                             # (G, n, BD)
+        return B4[:, s][:, :, None] * dtu4[:, s][:, None, :]
+
+    # --- phase 1: reconstruct states right-to-left from the chunk's
+    # right-entry state; store ah_t = a1_t h_{t+1}; dC fused into sweep 2.
+    aa, t = a4[:, SEG - 1], bb(SEG - 1)
+    for s in range(SEG - 2, -1, -1):
+        t = bb(s) + a4[:, s] * t
+        aa = aa * a4[:, s]
+    h = _segment_suffix(aa, t, h_in)
+    ahs = [None] * SEG
+    dcs = [None] * SEG
+    for s in range(SEG - 1, -1, -1):
+        ah = a4[:, s] * h
+        h = bb(s) + ah
+        ahs[s] = ah
+        dcs[s] = jnp.sum(h * dy4[:, s][:, None, :], axis=2)    # (G, n)
+    ah4 = jnp.stack(ahs, axis=1)                           # (G, SEG, n, BD)
+    dc_ref[0, 0] = jnp.stack(dcs, axis=1).reshape(BL, n).astype(dc_ref.dtype)
+
+    # --- phase 2: ASCENDING scan in p = a1*g space; q_t = C_t (x) dy_t on
+    # the fly; g_t = q_t + p_{t-1}; p_t = a1_t g_t.  Carried g_scr is
+    # p[last element of the earlier chunk].
+    def q(s):                                              # (G, n, BD)
+        return C4[:, s][:, :, None] * dy4[:, s][:, None, :]
+
+    aa = a4[:, 0]
+    p = a4[:, 0] * q(0)
+    for s in range(1, SEG):
+        p = a4[:, s] * (q(s) + p)
+        aa = aa * a4[:, s]
+    p_in_seg = _segment_prefix(aa, p, g_scr[...])
+    # sweep 2 (ascending t): all gradient reductions fused while g/p hot.
+    p = p_in_seg
+    dus = [None] * SEG
+    ddts = [None] * SEG
+    dbs = [None] * SEG
+    da_acc = jnp.zeros_like(A_t)
+    for s in range(SEG):
+        g = q(s) + p                                       # (G, n, BD)
+        p = a4[:, s] * g
+        gb = jnp.sum(g * B4[:, s][:, :, None], axis=1)     # (G, BD)
+        gsa = g * ah4[:, s]                                # (G, n, BD)
+        dus[s] = dt4[:, s] * gb
+        ddts[s] = gb * u4[:, s] + jnp.sum(gsa * A_t[None], axis=1)
+        dbs[s] = jnp.sum(g * dtu4[:, s][:, None, :], axis=2)   # (G, n)
+        da_acc = da_acc + jnp.sum(gsa * dt4[:, s][:, None, :], axis=0)
+    g_scr[...] = p[G - 1]                                  # carry for chunk+1
+
+    du_ref[0] = jnp.stack(dus, axis=1).reshape(BL, -1).astype(du_ref.dtype)
+    ddt_ref[0] = jnp.stack(ddts, axis=1).reshape(BL, -1).astype(ddt_ref.dtype)
+    db_ref[0, 0] = jnp.stack(dbs, axis=1).reshape(BL, n).astype(db_ref.dtype)
+
+    @pl.when(lc == 0)
+    def _():
+        da_ref[0] = da_acc
+
+    @pl.when(lc > 0)
+    def _():
+        da_ref[0] = da_ref[0] + da_acc
+
+
+def _scan_bwd_pallas(u, dt, B, C, A_t, h_in, dy, interpret=False,
+                     reverse=False):
     b, L, d = u.shape
     n = B.shape[-1]
     BD = min(BWD_BD, d)
@@ -371,29 +552,38 @@ def _scan_bwd_pallas(u, dt, B, C, A_t, h_in, dy, interpret=False):
     grid = (b, nd, nc)
     bg = b // A_t.shape[0]          # batch rows per parameter group
 
+    if reverse:
+        # gradient of the right-to-left scan flows left-to-right: visit
+        # chunks in natural order
+        kernel = _bwd_kernel_chunked_rev
+        ck = lambda k: k
+    else:
+        kernel = _bwd_kernel_chunked
+        ck = lambda k: nc - 1 - k
+
     def rev(i, j, k):
-        return (i, nc - 1 - k, j)
+        return (i, ck(k), j)
 
     du, ddt, dB_p, dC_p, dA_p = pl.pallas_call(
-        _bwd_kernel_chunked,
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, BL, BD), rev),                            # u
             pl.BlockSpec((1, BL, BD), rev),                            # dt
-            pl.BlockSpec((1, BL, n), lambda i, j, k: (i, nc - 1 - k, 0)),
-            pl.BlockSpec((1, BL, n), lambda i, j, k: (i, nc - 1 - k, 0)),
+            pl.BlockSpec((1, BL, n), lambda i, j, k: (i, ck(k), 0)),
+            pl.BlockSpec((1, BL, n), lambda i, j, k: (i, ck(k), 0)),
             pl.BlockSpec((1, n, BD), lambda i, j, k: (i // bg, 0, j)),  # A.T
             pl.BlockSpec((1, 1, n, BD),
-                         lambda i, j, k: (i, nc - 1 - k, 0, j)),       # h_in
+                         lambda i, j, k: (i, ck(k), 0, j)),            # h_in
             pl.BlockSpec((1, BL, BD), rev),                            # dy
         ],
         out_specs=[
             pl.BlockSpec((1, BL, BD), rev),                            # du
             pl.BlockSpec((1, BL, BD), rev),                            # ddt
             pl.BlockSpec((1, 1, BL, n),
-                         lambda i, j, k: (i, j, nc - 1 - k, 0)),       # dB part
+                         lambda i, j, k: (i, j, ck(k), 0)),            # dB part
             pl.BlockSpec((1, 1, BL, n),
-                         lambda i, j, k: (i, j, nc - 1 - k, 0)),       # dC part
+                         lambda i, j, k: (i, j, ck(k), 0)),            # dC part
             pl.BlockSpec((1, n, BD), lambda i, j, k: (i, 0, j)),       # dA part
         ],
         out_shape=[
@@ -430,11 +620,20 @@ def _pad_seq(x, pad):
     return jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
 
 
-def selective_scan(u, dt, A, B, C, interpret=False, variant="chunked"):
+def selective_scan(u, dt, A, B, C, interpret=False, variant="chunked",
+                   reverse=False):
     """Pallas selective scan.  Same contract as ``selective_scan_ref``.
 
     d must be a multiple of 128; L is padded internally to a multiple of BL.
     ``interpret=True`` runs the kernels in interpreter mode (CPU tests).
+
+    ``reverse=True`` runs the recurrence right-to-left over NATURAL-order
+    inputs and outputs (``flip(scan(flip(inputs)))`` semantics with zero
+    flips): the grid visits chunks last-to-first and the in-chunk sweeps
+    are mirrored.  The internal zero-padding of L stays at the sequence
+    END — for the reverse scan those pads are scanned first, and dt=0
+    makes each one an exact identity step (decay 1, update 0), so real
+    outputs are untouched.  Chunked variant only.
 
     A may be (d, n) — shared over the batch — or (G, d, n) with G parameter
     groups over equal slices of the batch: rows ``u[g*b//G:(g+1)*b//G]``
@@ -461,38 +660,39 @@ def selective_scan(u, dt, A, B, C, interpret=False, variant="chunked"):
             f"selective_scan: batch {b} must divide evenly into the "
             f"{A.shape[0]} parameter groups of grouped A.")
     return _scan_core(u, dt.astype(jnp.float32), A.astype(jnp.float32),
-                      B, C, interpret, variant)
+                      B, C, interpret, variant, reverse)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _scan_core(u, dt, A, B, C, interpret, variant):
-    y, _ = _fwd_impl(u, dt, A, B, C, interpret, variant)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _scan_core(u, dt, A, B, C, interpret, variant, reverse):
+    y, _ = _fwd_impl(u, dt, A, B, C, interpret, variant, reverse)
     return y
 
 
-def _fwd_impl(u, dt, A, B, C, interpret, variant):
+def _fwd_impl(u, dt, A, B, C, interpret, variant, reverse):
     b, L, d = u.shape
     pad = _pad_len(L)
     up, dtp, Bp, Cp = (_pad_seq(x, pad) for x in (u, dt, B, C))
     grouped = A.ndim == 3
     A_t = (A if grouped else A[None]).transpose(0, 2, 1)   # (G, n, d)
     y, h_in, _ = _scan_fwd_pallas(up, dtp, Bp, Cp, A_t, variant,
-                                  interpret=interpret)
+                                  interpret=interpret, reverse=reverse)
     return y[:, :L], (up, dtp, Bp, Cp, A_t, h_in, L, grouped)
 
 
-def _fwd_rule(u, dt, A, B, C, interpret, variant):
-    y, res = _fwd_impl(u, dt, A, B, C, interpret, variant)
+def _fwd_rule(u, dt, A, B, C, interpret, variant, reverse):
+    y, res = _fwd_impl(u, dt, A, B, C, interpret, variant, reverse)
     return y, res
 
 
-def _bwd_rule(interpret, variant, res, dy):
+def _bwd_rule(interpret, variant, reverse, res, dy):
     del variant  # backward is always chunked
     up, dtp, Bp, Cp, A_t, h_in, L, grouped = res
     pad = up.shape[1] - L
     dyp = _pad_seq(dy.astype(jnp.float32), pad)
     du, ddt, dB, dC, dA = _scan_bwd_pallas(
-        up, dtp, Bp, Cp, A_t, h_in, dyp, interpret=interpret)
+        up, dtp, Bp, Cp, A_t, h_in, dyp, interpret=interpret,
+        reverse=reverse)
     # grads must match primal dtypes; dB/dC partials are summed in f32
     # across channel blocks first, then rounded once.
     return (du[:, :L], ddt[:, :L], dA if grouped else dA[0],

@@ -143,6 +143,83 @@ class TestSelectiveScanPallas:
                                        rtol=2e-4, atol=2e-5)
 
 
+class TestReverseScan:
+    """Right-to-left scan over natural-order tensors (reverse=True) — the
+    kernel that replaces the bi-directional MambaBlock's whole-stream
+    jnp.flip (models/fusion.py; VERDICT r3 #3b)."""
+
+    def test_ref_reverse_equals_flip_formulation(self, rng):
+        u, dt, A, B, C = _scan_inputs(rng, L=40, d=8, n=4)
+        flip = lambda x: jnp.flip(x, axis=1)
+        a = selective_scan_ref(u, dt, A, B, C, reverse=True)
+        b = flip(selective_scan_ref(flip(u), flip(dt), A, flip(B), flip(C)))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_forward_matches_ref(self, rng):
+        # L=300 is not a BL multiple: exercises the trailing zero-pad,
+        # which the reverse scan visits FIRST (dt=0 -> exact identity)
+        u, dt, A, B, C = _scan_inputs(rng)
+        y_ref = selective_scan_ref(u, dt, A, B, C, reverse=True)
+        y = selective_scan(u, dt, A, B, C, True, reverse=True)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_gradients_match_ref(self, rng):
+        args = _scan_inputs(rng)
+        g_ref = jax.grad(
+            lambda *a: (selective_scan_ref(*a, reverse=True) ** 2).sum(),
+            argnums=(0, 1, 2, 3, 4))(*args)
+        g_pal = jax.grad(
+            lambda *a: (selective_scan(*a, True, reverse=True) ** 2).sum(),
+            argnums=(0, 1, 2, 3, 4))(*args)
+        for gr, gp in zip(g_ref, g_pal):
+            scale = max(float(jnp.abs(gr).max()), 1e-6)
+            np.testing.assert_allclose(np.asarray(gp) / scale,
+                                       np.asarray(gr) / scale,
+                                       rtol=2e-4, atol=2e-5)
+
+    def test_sequential_variant_rejected(self, rng):
+        u, dt, A, B, C = _scan_inputs(rng, L=128)
+        with pytest.raises(ValueError, match="chunked"):
+            selective_scan(u, dt, A, B, C, True, "sequential", reverse=True)
+
+    def test_mamba_reverse_layer_equals_flip(self, rng):
+        """Mamba(reverse=True)(x) == flip(Mamba(flip(x))) with identical
+        parameters: anticausal conv + reverse scan compose to exactly the
+        flip formulation (bit-exact on this CPU backend)."""
+        x = jnp.asarray(rng.normal(size=(2, 70, 64)).astype(np.float32))
+        fwd = Mamba(d_model=64, use_pallas=False)
+        rev = Mamba(d_model=64, use_pallas=False, reverse=True)
+        v = fwd.init(jax.random.PRNGKey(0), x)
+        a = rev.apply(v, x)
+        b = jnp.flip(fwd.apply(v, jnp.flip(x, 1)), 1)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_mamba_block_reverse_kernel_equals_flip_path(self, rng):
+        """MambaBlock(reverse_kernel=True) keeps the same parameter tree
+        and outputs/grads as the flip path (config.reverse_scan_kernel is
+        a pure dataflow change)."""
+        from deepsense6g_tii_tpu.models.fusion import MambaBlock
+        x = jnp.asarray(rng.normal(size=(2, 70, 64)).astype(np.float32))
+        blk = MambaBlock(n_embd=64, n_tokens=70, use_pallas=False)
+        blk_r = MambaBlock(n_embd=64, n_tokens=70, use_pallas=False,
+                           reverse_kernel=True)
+        v = blk.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_allclose(np.asarray(blk_r.apply(v, x)),
+                                   np.asarray(blk.apply(v, x)),
+                                   rtol=1e-5, atol=1e-6)
+        ga = jax.grad(lambda vv: jnp.sum(blk.apply(vv, x) ** 2))(v)
+        gb = jax.grad(lambda vv: jnp.sum(blk_r.apply(vv, x) ** 2))(v)
+        for la, lb in zip(jax.tree_util.tree_leaves(ga),
+                          jax.tree_util.tree_leaves(gb)):
+            scale = max(float(jnp.abs(la).max()), 1e-6)
+            np.testing.assert_allclose(np.asarray(lb) / scale,
+                                       np.asarray(la) / scale,
+                                       rtol=1e-4, atol=1e-5)
+
+
 class TestBidirectionalScan:
     def _pres(self, rng):
         pres = []
