@@ -33,6 +33,12 @@ def main() -> int:
     p.add_argument("--arch", default="mamba", choices=["mamba", "gpt"])
     p.add_argument("--batches", default="1,8,16")
     p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--exported", action="store_true",
+                   help="also export the jax.export StableHLO artifact "
+                        "(weights baked in), reload it cold, check its "
+                        "predictions against the live Predictor and bench "
+                        "its latency — the serving-artifact validation on "
+                        "the real chip")
     a = p.parse_args()
     batches = [int(x) for x in a.batches.split(",")]
 
@@ -79,6 +85,51 @@ def main() -> int:
                             "samples_per_sec": round(b * n_calls / dt, 2)}
     print(f"pipelined batch {b}: {results['pipelined']['samples_per_sec']}"
           " samples/s", flush=True)
+
+    if a.exported:
+        # jax.export round-trip on this backend: serialize (weights baked
+        # in), cold-reload, equivalence vs the live path, then latency.
+        from deepsense6g_tii_tpu.serve import ExportedPredictor
+        path = f"/tmp/ds6g_serve_{a.arch}.stablehlo"
+        t0 = time.perf_counter()
+        pred.export_artifact(path, batch_size=b)
+        export_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ep = ExportedPredictor(path)
+        load_s = time.perf_counter() - t0
+        beams_live, conf_live = pred.predict(*args)
+        beams_exp, conf_exp = ep.predict(*args)
+        # both contracts: (B, k) 1-indexed beams + (B,) top-1 confidence
+        beams_ok = bool(np.array_equal(beams_live[:, 0], beams_exp[:, 0]))
+        conf_err = float(np.abs(np.asarray(conf_live, np.float32)
+                                - np.asarray(conf_exp, np.float32)).max())
+        ep.predict(*args)                       # warm
+        times = []
+        for _ in range(a.iters):
+            t0 = time.perf_counter()
+            ep.predict(*args)
+            times.append((time.perf_counter() - t0) * 1e3)
+        t = np.asarray(times)
+        # device-time estimate: pipeline exported calls (amortizes the
+        # ~29 ms tunnel sync that dominates per-call latency here)
+        dev_in = tuple(jnp.asarray(x) for x in args)
+        t0 = time.perf_counter()
+        outs = [ep._exported.call(*dev_in) for _ in range(n_calls)]
+        _ = [np.asarray(o[0]) for o in outs]
+        dt = time.perf_counter() - t0
+        results["exported"] = {
+            "path": path, "batch": b,
+            "artifact_mb": round(os.path.getsize(path) / 1e6, 1),
+            "export_s": round(export_s, 1), "load_s": round(load_s, 1),
+            "top1_match": beams_ok, "conf_max_abs_err": conf_err,
+            "p50_ms": float(np.percentile(t, 50)),
+            "pipelined_samples_per_sec": round(b * n_calls / dt, 2),
+            "device_ms_per_batch": round(dt / n_calls * 1e3, 1)}
+        print(f"exported: top1_match={beams_ok} conf_err={conf_err:.2e} "
+              f"p50 {results['exported']['p50_ms']:.1f} ms  device "
+              f"{results['exported']['device_ms_per_batch']} ms/batch",
+              flush=True)
+
     print(json.dumps(results))
     return 0
 
