@@ -109,6 +109,10 @@ def main():
                        # lidar+radar ResNet18s as one grouped-conv program
                        merge_lidar_radar=os.environ.get(
                            "DEEPSENSE_BENCH_MERGE_LR", "0") == "1",
+                       # stage1-only grouped lidar+radar (the half-width
+                       # 64-channel convs — config.merge_lr_stage1)
+                       merge_lr_stage1=os.environ.get(
+                           "DEEPSENSE_BENCH_MERGE_LR_S1", "0") == "1",
                        # mamba path: 1024-padded token stream (no per-scan
                        # pad/slice; exact — config.padded_token_stream)
                        padded_token_stream=os.environ.get(

@@ -101,6 +101,15 @@ class GlobalConfig:
     # the 128-lane register width).  Numerically exact vs two separate
     # backbones (per-channel BN; tests/test_grouped_backbone.py).
     merge_lidar_radar: bool = False
+    # stage1-only variant of merge_lidar_radar: run ONLY the lidar+radar
+    # stems + stage1 as one feature_group_count=2 program (64 -> 128
+    # output channels — the one place the separate backbones leave half
+    # the 128-lane MXU width idle; xprof r4: stage1 is 38% of all conv
+    # time), then split and keep stages 2-4 separate (already >= 128
+    # wide — grouping THEM is the measured r3 dead end).  Exact vs
+    # separate backbones (per-channel BN).  Mutually exclusive with
+    # merge_lidar_radar.
+    merge_lr_stage1: bool = False
     # Mamba-path only: carry the fused token stream padded to the next
     # 128-multiple (962 -> 1024) through ALL fusion blocks instead of
     # padding/slicing around each of the 64 selective-scan kernel calls.

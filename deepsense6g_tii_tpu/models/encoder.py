@@ -59,6 +59,9 @@ class FusionEncoder(nn.Module):
         stem_remat = cfg.remat in ("conv", "stem")
         img_blocks = cfg.backbone_blocks or RESNET34_BLOCKS
         oth_blocks = cfg.backbone_blocks or RESNET18_BLOCKS
+        if cfg.merge_lidar_radar and cfg.merge_lr_stage1:
+            raise ValueError("merge_lidar_radar and merge_lr_stage1 are "
+                             "mutually exclusive grouped-conv layouts")
         self.image_backbone = ResNetBackbone(img_blocks, dtype=dtype,
                                              remat=conv_remat,
                                              remat_stem=stem_remat,
@@ -79,6 +82,14 @@ class FusionEncoder(nn.Module):
                                                  remat=conv_remat,
                                                  remat_stem=stem_remat,
                                                  name="radar_encoder")
+            if cfg.merge_lr_stage1:
+                # grouped stem+stage1 only (config.merge_lr_stage1); the
+                # separate backbones above still serve stages 2-4 (their
+                # stem/stage1 params are simply never created)
+                self.lr_backbone = ResNetBackbone(
+                    oth_blocks, dtype=dtype, remat=conv_remat,
+                    remat_stem=stem_remat, groups=2,
+                    name="lidar_radar_stage1")
 
         self.vel_embs = [
             nn.Dense(STAGE_FEATURES[i], name=f"vel_emb{i + 1}")
@@ -216,37 +227,62 @@ class FusionEncoder(nn.Module):
 
         merged = cfg.merge_lidar_radar
 
+        # explicit per-modality scopes: direct sub-submodule calls
+        # (bb.stage1(...)) put only "stage1/..." on the op name stack, so
+        # without these the three backbones' convs aggregate into one xprof
+        # row and per-conv attribution (tools/profile_step.py) is blind to
+        # which modality the time belongs to
+        def scoped(tag, fn, *a):
+            with jax.named_scope(tag):
+                return fn(*a)
+
         def lr_stage(name, lid_f, rad_f, m):
             """One grouped-conv dispatch over both streams.  The concat and
             the split slices are layout ops XLA fuses into the neighbouring
             convs; lidar+radar channel counts are equal at every stage."""
             lr = jnp.concatenate([lid_f, rad_f], axis=-1)
-            lr = getattr(self.lr_backbone, name)(lr, train, m)
+            lr = scoped("lr_backbone",
+                        getattr(self.lr_backbone, name), lr, train, m)
             c = lr.shape[-1] // 2
             return lr[..., :c], lr[..., c:]
 
-        if merged:
-            img_f = self.image_backbone.stage1(
-                self.image_backbone.stem(image, train, bn_masks[0]),
-                train, bn_masks[0])
-            # equal per-group input channels (grouped-conv requirement):
-            # zero-pad the narrower raw stream — exact, the padded
-            # channel's stem weights multiply zeros
+        def merged_lr_stage1(lidar, radar):
+            """Grouped stem+stage1 over both raw streams.  Equal per-group
+            input channels (grouped-conv requirement): zero-pad the narrower
+            raw stream — exact, the padded channel's stem weights multiply
+            zeros."""
             cin = max(lidar.shape[-1], radar.shape[-1])
             pad = lambda x: (x if x.shape[-1] == cin else jnp.pad(  # noqa: E731
                 x, ((0, 0),) * (x.ndim - 1) + ((0, cin - x.shape[-1]),)))
             lr = jnp.concatenate([pad(lidar), pad(radar)], axis=-1)
-            lr = self.lr_backbone.stage1(
-                self.lr_backbone.stem(lr, train, bn_masks[1]),
-                train, bn_masks[1])
+            lr = scoped(
+                "lr_backbone",
+                lambda x: self.lr_backbone.stage1(
+                    self.lr_backbone.stem(x, train, bn_masks[1]),
+                    train, bn_masks[1]), lr)
             c = lr.shape[-1] // 2
-            feats = [img_f, lr[..., :c], lr[..., c:]]
+            return lr[..., :c], lr[..., c:]
+
+        if merged or cfg.merge_lr_stage1:
+            img_f = scoped(
+                "image_backbone",
+                lambda x: self.image_backbone.stage1(
+                    self.image_backbone.stem(x, train, bn_masks[0]),
+                    train, bn_masks[0]), image)
+            lid_f, rad_f = merged_lr_stage1(lidar, radar)
+            feats = [img_f, lid_f, rad_f]
         else:
+            feats = [None, None, None]   # filled below
+        if not merged:
             backbones = (self.image_backbone, self.lidar_backbone,
                          self.radar_backbone)
-            feats = [bb.stage1(bb.stem(x, train, m), train, m)
-                     for bb, x, m in zip(backbones, (image, lidar, radar),
-                                         bn_masks)]
+            tags = ("image_backbone", "lidar_backbone", "radar_backbone")
+            if not cfg.merge_lr_stage1:
+                feats = [scoped(t, lambda bb=bb, x=x, m=m: bb.stage1(
+                             bb.stem(x, train, m), train, m))
+                         for t, bb, x, m in zip(tags, backbones,
+                                                (image, lidar, radar),
+                                                bn_masks)]
 
         feats = self._inject_rebuild(feats, rebuild_feats, train)
         stage1_feats = feats
@@ -267,14 +303,18 @@ class FusionEncoder(nn.Module):
             feats = [f + o.astype(f.dtype) for f, o in zip(feats, outs)]
             if i < 3:
                 if merged:
-                    img_f = getattr(self.image_backbone, f"stage{i + 2}")(
+                    img_f = scoped(
+                        "image_backbone",
+                        getattr(self.image_backbone, f"stage{i + 2}"),
                         feats[0], train, bn_masks[0])
                     lid_f, rad_f = lr_stage(f"stage{i + 2}", feats[1],
                                             feats[2], bn_masks[1])
                     feats = [img_f, lid_f, rad_f]
                 else:
-                    feats = [getattr(bb, f"stage{i + 2}")(f, train, m)
-                             for bb, f, m in zip(backbones, feats, bn_masks)]
+                    feats = [scoped(t, getattr(bb, f"stage{i + 2}"),
+                                    f, train, m)
+                             for t, bb, f, m in zip(tags, backbones, feats,
+                                                    bn_masks)]
 
         tracks = [_unflatten_bt(global_avg_pool(f), B).astype(jnp.float32)
                   for f in feats]                      # 3 x (B, T, 512)

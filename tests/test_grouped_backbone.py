@@ -104,3 +104,52 @@ class TestGroupedBackbone:
                                mutable=["batch_stats"],
                                rngs={"dropout": jax.random.PRNGKey(7)})
         np.testing.assert_allclose(np.asarray(ym), np.asarray(ys), **tol())
+
+    def test_encoder_stage1_merge_equals_separate(self, rng):
+        """config.merge_lr_stage1: ONLY stem+stage1 grouped (the half-width
+        64-channel convs), stages 2-4 on the separate backbones — output
+        must equal the fully-separate encoder exactly."""
+        base = dict(seq_len=2, input_resolution=64, vert_anchors=2,
+                    horz_anchors=2, n_layer=1, backbone_blocks=BLOCKS,
+                    use_pallas_scan=False, compute_dtype="float32",
+                    embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0)
+        cfg_sep = GlobalConfig(**base)
+        cfg_s1 = GlobalConfig(merge_lr_stage1=True, **base)
+
+        B, T, H = 2, 2, 64
+        image = jnp.asarray(rng.uniform(0, 255, (B, T, H, H, 3)), jnp.float32)
+        lidar = jnp.asarray(rng.uniform(0, 1, (B, T, H, H, 1)), jnp.float32)
+        radar = jnp.asarray(rng.uniform(0, 1, (B, T, H, H, 2)), jnp.float32)
+        gps = jnp.asarray(rng.normal(size=(B, 2, 2)), jnp.float32)
+
+        enc_sep = FusionEncoder(cfg_sep)
+        enc_s1 = FusionEncoder(cfg_s1)
+        v = enc_sep.init(jax.random.PRNGKey(0), image, lidar, radar, gps)
+
+        def rearrange(col):
+            ss = {}
+            out = {}
+            for name in ("lidar_encoder", "radar_encoder"):
+                t = v[col][name]
+                ss[name] = {k: s for k, s in t.items()
+                            if k in ("stem", "stage1")}
+                out[name] = {k: s for k, s in t.items()
+                             if k not in ("stem", "stage1")}
+            out["lidar_radar_stage1"] = merge_backbone_trees(
+                ss["lidar_encoder"], ss["radar_encoder"])
+            out.update({k: t for k, t in v[col].items()
+                        if k not in ("lidar_encoder", "radar_encoder")})
+            return out
+
+        vm = {col: rearrange(col) for col in v}
+        ys = enc_sep.apply(v, image, lidar, radar, gps)
+        ym = enc_s1.apply(vm, image, lidar, radar, gps)
+        np.testing.assert_allclose(np.asarray(ym), np.asarray(ys), **tol())
+
+        ys, _ = enc_sep.apply(v, image, lidar, radar, gps, train=True,
+                              mutable=["batch_stats"],
+                              rngs={"dropout": jax.random.PRNGKey(7)})
+        ym, _ = enc_s1.apply(vm, image, lidar, radar, gps, train=True,
+                             mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.PRNGKey(7)})
+        np.testing.assert_allclose(np.asarray(ym), np.asarray(ys), **tol())

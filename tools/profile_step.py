@@ -60,6 +60,8 @@ def main():
                            "DEEPSENSE_BENCH_FLASH_DROPOUT") or None,
                        merge_lidar_radar=os.environ.get(
                            "DEEPSENSE_BENCH_MERGE_LR", "0") == "1",
+                       merge_lr_stage1=os.environ.get(
+                           "DEEPSENSE_BENCH_MERGE_LR_S1", "0") == "1",
                        padded_token_stream=os.environ.get(
                            "DEEPSENSE_BENCH_PADDED", "0") == "1",
                        reverse_scan_kernel=os.environ.get(
@@ -90,7 +92,10 @@ def main():
     _ = float(np.asarray(m["loss"]).ravel()[-1])   # compile + sync
 
     n_disp = 3 if K == 1 else 1
-    trace_dir = "/tmp/xprof_step"
+    # per-config dir so successive A/B profile runs keep their traces
+    tag = arch + ("_rev" if cfg.reverse_scan_kernel else "") \
+        + ("_pad" if cfg.padded_token_stream else "")
+    trace_dir = f"/tmp/xprof_step_{tag}"
     jax.profiler.start_trace(trace_dir)
     for _ in range(n_disp):
         state, m = step(state, batch, 1e-4)
@@ -139,7 +144,7 @@ def conv_attribution(dev, n_steps):
     import collections
     import re
 
-    conv = [r for r in dev if "onvolution" in r["type"]]
+    conv = [r for r in dev if "conv" in r["type"]]
     if not conv:
         return
     total = sum(r["total_self_time"] for r in conv)
@@ -149,8 +154,12 @@ def conv_attribution(dev, n_steps):
         mod = re.search(r"(image|lidar|radar|lr)_backbone", op)
         st = re.search(r"(stem|stage[1-4])", op)
         fus = re.search(r"(fusion[1-4]|mamba|time_mamba|join)", op)
-        site = (f"{mod.group(0)}/{st.group(0)}" if mod and st
-                else (fus.group(0) if fus else "other"))
+        if st:                       # backbone conv; modality tag if present
+            site = f"{mod.group(0) if mod else 'bb'}/{st.group(0)}"
+        elif fus:
+            site = fus.group(0)      # mamba depthwise conv1d
+        else:
+            site = "other"
         bwd = "transpose(" in op or "vjp" in op.lower()
         agg[(site, "bwd" if bwd else "fwd")] += r["total_self_time"]
     print(f"convolutions by site (total {total/n_steps/1e3:.2f} ms/step):")
