@@ -163,12 +163,14 @@ def run(n_train: int = 256, n_val: int = 64, batch_size: int = 16,
     opts = TrainOptions(
         logdir=os.environ.get("DBA_REG_LOGDIR", "/tmp/ds6g_dba_regression"),
         epochs=epochs, lr=lr, loss="focal", scheduler=True, ema=True,
-        # the reference's 0.999 needs tens of thousands of steps to track;
-        # the reduced run takes epochs*(n_train/batch_size) ~ 200 steps, so
-        # it uses a decay whose horizon (1/(1-d)) fits the run while
-        # exercising the same shadow-update/apply/restore machinery.  The
-        # full-geometry run has ~2k steps: the reference's own 0.999.
-        ema_decay=0.999 if full_geometry else ema_decay,
+        # the reference's 0.999 needs tens of thousands of steps to track
+        # (its horizon of 1000 steps is 1/32 of a 46-epoch run); short runs
+        # scale the horizon to run length or the shadow never catches the
+        # raw weights (measured: at 0.999 the shadow still weighted the
+        # INITIAL RANDOM params ~40% after 900 steps — val DBA sat at the
+        # floor while raw train DBA was 1.0).  Same shadow machinery either
+        # way; callers can override via ema_decay.
+        ema_decay=ema_decay,
         temp_coef=True, prefetch=2 if full_geometry else 0,
         # the bench-default fused dispatch + (mamba) grad accumulation
         steps_per_dispatch=8 if (full_geometry and on_tpu) else 1,
@@ -180,12 +182,28 @@ def run(n_train: int = 256, n_val: int = 64, batch_size: int = 16,
 
     shuffle_rng = np.random.default_rng(seed + 1)
     for ep in range(epochs):
-        engine.train(_batches(data, tr_idx, batch_size, shuffle_rng))
+        tr_loss = engine.train(_batches(data, tr_idx, batch_size,
+                                        shuffle_rng))
         if (ep + 1) % val_every == 0 or ep == epochs - 1:
             engine.validate(val_batches)
             if verbose:
-                print(f"epoch {ep + 1}/{epochs}: val DBA "
-                      f"{engine.DBA[-1]:.4f}", file=sys.stderr, flush=True)
+                # NB: validate() applies the EMA shadow — early in a run
+                # the shadow still weights the initial random params
+                # (decay^steps), so val DBA lags the raw model by design.
+                # RSS is logged because the axon tunnel client leaks host
+                # memory proportional to bytes shipped (~3-5 GB per
+                # full-geometry epoch, r4 NOTES) — size runs to the budget.
+                rss_gb = 0.0
+                try:
+                    with open("/proc/self/status") as f:
+                        for ln in f:
+                            if ln.startswith("VmRSS"):
+                                rss_gb = int(ln.split()[1]) / 1e6
+                except OSError:
+                    pass
+                print(f"epoch {ep + 1}/{epochs}: train loss {tr_loss:.4f} "
+                      f"val DBA {engine.DBA[-1]:.4f} rss {rss_gb:.1f}G",
+                      file=sys.stderr, flush=True)
 
     # EMA vs raw weights on the identical held-out split
     raw_eval = make_eval_step(model, cfg, loss_name=opts.loss,
@@ -239,18 +257,24 @@ if __name__ == "__main__":
     ap.add_argument("--radar-u8", action="store_true",
                     help="train on uint8-quantized radar (the cache's "
                          "lossy opt-in storage) to bound its accuracy cost")
+    ap.add_argument("--ema-decay", type=float, default=None)
     a = ap.parse_args()
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     if a.full:
+        # defaults sized to the tunnel-client leak budget (~3 GB of host
+        # anon per 768-sample epoch never freed, see NOTES r4): ~45 GB
+        # total on a 125 GB host.  960 steps at decay 0.99 puts the EMA
+        # horizon at ~1/10 of the run (reference: 1/32).
         run(arch=a.arch, full_geometry=True, radar_uint8=a.radar_u8,
-            n_train=a.n_train or 1024, n_val=a.n_val or 128,
-            batch_size=a.batch, epochs=a.epochs or 30,
+            n_train=a.n_train or 768, n_val=a.n_val or 128,
+            batch_size=a.batch, epochs=a.epochs or 20,
+            ema_decay=a.ema_decay or 0.99,
             lr=a.lr or 1e-3, val_every=a.val_every or 2, out=a.out)
     else:
         run(arch=a.arch, radar_uint8=a.radar_u8,
             **{k: v for k, v in (("n_train", a.n_train), ("n_val", a.n_val),
                                  ("epochs", a.epochs), ("lr", a.lr),
-                                 ("out", a.out),
+                                 ("out", a.out), ("ema_decay", a.ema_decay),
                                  ("val_every", a.val_every)) if v})
