@@ -182,8 +182,8 @@ def run(n_train: int = 256, n_val: int = 64, batch_size: int = 16,
 
     shuffle_rng = np.random.default_rng(seed + 1)
     for ep in range(epochs):
-        tr_loss = engine.train(_batches(data, tr_idx, batch_size,
-                                        shuffle_rng))
+        tr_dba = engine.train(_batches(data, tr_idx, batch_size,
+                                       shuffle_rng))
         if (ep + 1) % val_every == 0 or ep == epochs - 1:
             engine.validate(val_batches)
             if verbose:
@@ -201,7 +201,7 @@ def run(n_train: int = 256, n_val: int = 64, batch_size: int = 16,
                                 rss_gb = int(ln.split()[1]) / 1e6
                 except OSError:
                     pass
-                print(f"epoch {ep + 1}/{epochs}: train loss {tr_loss:.4f} "
+                print(f"epoch {ep + 1}/{epochs}: train DBA {tr_dba:.4f} "
                       f"val DBA {engine.DBA[-1]:.4f} rss {rss_gb:.1f}G",
                       file=sys.stderr, flush=True)
 

@@ -68,14 +68,20 @@ def _chain_kernel(k_ops, use_exp, x_ref, o_ref):
     o_ref[...] = x
 
 
-def calibrate(shape=(1024, 8, 1024), k_lo=8, k_hi=40, use_exp=False):
+def calibrate(shape=(4096, 8, 1024), k_lo=8, k_hi=40, use_exp=False,
+              blk=32):
     """Effective elementwise throughput (ops/s) from a known-op-count
-    chain, differencing two chain lengths to cancel load/store cost."""
+    chain, differencing two chain lengths to cancel load/store cost.
+    Gridded over the leading dim: (blk, 8, 1024) f32 blocks = 1 MB VMEM."""
     x = jnp.ones(shape, jnp.float32) * 0.5
 
     def run(k):
         f = jax.jit(lambda x: pl.pallas_call(
             functools.partial(_chain_kernel, k, use_exp),
+            grid=(shape[0] // blk,),
+            in_specs=[pl.BlockSpec((blk,) + shape[1:],
+                                   lambda i: (i, 0, 0))],
+            out_specs=pl.BlockSpec((blk,) + shape[1:], lambda i: (i, 0, 0)),
             out_shape=jax.ShapeDtypeStruct(shape, jnp.float32))(x))
         return _timed_net(f, (x,))
 
