@@ -98,6 +98,18 @@ def build_cache(dataset, cache_dir: str, num_workers: int = 16,
     build transparently restarts with that modality forced to float16
     instead of failing.
     """
+    # Validate dtype requests up front.  image/lidar uint8 storage is
+    # AUTO-selected only (it requires sample-level exactness proofs); an
+    # explicit "uint8" request could silently end up float16 through the
+    # _QuantizeMismatch restart below, overriding the caller — reject it
+    # instead.  Radar is the only modality with an opt-in (lossy) uint8.
+    for name, val, allowed in (("image_dtype", image_dtype, ("float16",)),
+                               ("lidar_dtype", lidar_dtype, ("float16",)),
+                               ("radar_dtype", radar_dtype,
+                                ("float16", "uint8"))):
+        if val is not None and val not in allowed:
+            raise ValueError(f"{name}={val!r} unsupported; expected None "
+                             f"(auto) or one of {allowed}")
     os.makedirs(cache_dir, exist_ok=True)
     manifest_path = os.path.join(cache_dir, _MANIFEST)
     if os.path.exists(manifest_path):

@@ -341,6 +341,21 @@ class TestCache:
         np.testing.assert_allclose(cds[2]["lidar"], tds[2]["lidar"],
                                    atol=1e-3)
 
+    def test_explicit_uint8_request_rejected(self, tree, tmp_path):
+        """image/lidar uint8 storage is auto-selected only (needs per-sample
+        exactness proofs); an explicit "uint8" request could silently become
+        float16 through the mid-build restart, so it is rejected up front
+        (ADVICE r4)."""
+        import pytest
+        root, csv = tree
+        ds = BeamDataset(root, csv, CFG)
+        with pytest.raises(ValueError, match="image_dtype"):
+            build_cache(ds, str(tmp_path / "c_iu8"), image_dtype="uint8")
+        with pytest.raises(ValueError, match="lidar_dtype"):
+            build_cache(ds, str(tmp_path / "c_lu8"), lidar_dtype="uint8")
+        with pytest.raises(ValueError, match="radar_dtype"):
+            build_cache(ds, str(tmp_path / "c_rbad"), radar_dtype="int8")
+
     def test_radar_dtype_mismatch_raises(self, tree, tmp_path):
         """An existing manifest with a different radar storage mode must not
         be silently served (lossy vs exact values differ, ADVICE r3)."""

@@ -55,7 +55,13 @@ def run_item(name, env_over, script, timeout):
     if p.returncode != 0 or line is None:
         return {"error": f"rc={p.returncode}",
                 "stderr_tail": p.stderr.strip().splitlines()[-5:]}
-    out = json.loads(line)
+    try:
+        out = json.loads(line)
+    except json.JSONDecodeError:
+        # a brace-prefixed progress line is not the result line; record the
+        # failure for this item instead of aborting the whole matrix loop
+        return {"error": "last brace-prefixed stdout line is not JSON",
+                "line": line[:200]}
     out["wall_s"] = round(time.time() - t0, 1)
     return out
 

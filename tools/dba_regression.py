@@ -273,7 +273,7 @@ if __name__ == "__main__":
             ema_decay=a.ema_decay or 0.99,
             lr=a.lr or 1e-3, val_every=a.val_every or 2, out=a.out)
     else:
-        run(arch=a.arch, radar_uint8=a.radar_u8,
+        run(arch=a.arch, radar_uint8=a.radar_u8, batch_size=a.batch,
             **{k: v for k, v in (("n_train", a.n_train), ("n_val", a.n_val),
                                  ("epochs", a.epochs), ("lr", a.lr),
                                  ("out", a.out), ("ema_decay", a.ema_decay),
