@@ -121,7 +121,13 @@ def main():
                        # (reversed-grid scan kernel, no whole-stream flip
                        # — config.reverse_scan_kernel)
                        reverse_scan_kernel=os.environ.get(
-                           "DEEPSENSE_BENCH_REVERSE_SCAN", "0") == "1")
+                           "DEEPSENSE_BENCH_REVERSE_SCAN", "0") == "1",
+                       # mamba depthwise causal conv lowering: "conv"
+                       # (default, grouped conv) vs "shift" (4 elementwise
+                       # FMAs — measured r5 dead end, -1.6% e2e; see
+                       # config.conv1d_impl)
+                       conv1d_impl=os.environ.get(
+                           "DEEPSENSE_BENCH_CONV1D", "conv"))
     model = BeamFuser(cfg)
     batch = make_synth_batch(cfg, B)
 

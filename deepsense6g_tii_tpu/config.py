@@ -130,6 +130,16 @@ class GlobalConfig:
     # and math modulo conv-window float reduction order.  Ignored when
     # padded_token_stream is on (trailing pads would be scanned first).
     reverse_scan_kernel: bool = False
+    # Depthwise causal conv1d lowering inside every Mamba layer
+    # (ops/mamba.py::causal_depthwise_conv1d): "conv" (default) is XLA's
+    # feature_group_count=d_inner grouped-conv lowering; "shift" computes
+    # the width-4 depthwise conv as 4 shifted elementwise FMAs.  Same math
+    # and reduction order.  MEASURED DEAD END (r5): "shift" is -1.6% e2e
+    # on the mamba bench (52.82 vs 53.69 samples/s/chip, B=16 K=8 GA=2,
+    # same-session A/B) — the grouped-conv backward's MXU weight-grad
+    # beats the shift form's 4-tap reduction chain; the 11.1 ms fusion3/4
+    # conv1d bucket (NOTES r4) is not recoverable by relowering.
+    conv1d_impl: str = "conv"
     # Adam first-moment (mu) storage dtype: None = f32 (exact torch-AdamW
     # trajectory).  "bfloat16" halves mu's HBM (103M params -> 207 MB saved)
     # — enough to fit batch 16 without rematerialization on a 16G v5e.  The

@@ -125,6 +125,7 @@ class FusionEncoder(nn.Module):
                 d_conv=cfg.d_conv,
                 expand=cfg.expand,
                 use_pallas=cfg.use_pallas_scan,
+                conv1d_impl=cfg.conv1d_impl,
                 padded_stream=cfg.padded_token_stream,
                 reverse_scan_kernel=cfg.reverse_scan_kernel,
                 dtype=dtype,
@@ -135,7 +136,8 @@ class FusionEncoder(nn.Module):
             self.time_mamba = TimeMamba(
                 d_model=STAGE_FEATURES[3], seq_len=cfg.seq_len,
                 gps_tokens=cfg.gps_len, d_state=cfg.d_state,
-                d_conv=cfg.d_conv, expand=cfg.expand, dtype=dtype,
+                d_conv=cfg.d_conv, expand=cfg.expand,
+                conv1d_impl=cfg.conv1d_impl, dtype=dtype,
                 name="time_mamba")
 
     # -- modality missing (mambafuser_seq.py:361-391) ------------------------

@@ -198,6 +198,7 @@ class MambaBlock(nn.Module):
     # pads would be scanned FIRST by the reverse scan and their garbage
     # would reach real tokens, so the flip path is kept there.
     reverse_kernel: bool = False
+    conv1d_impl: str = "conv"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -218,6 +219,7 @@ class MambaBlock(nn.Module):
         mamba = lambda name, rev=False: Mamba(
             d_model=self.n_embd, d_state=self.d_state, d_conv=self.d_conv,
             expand=self.expand, use_pallas=self.use_pallas, reverse=rev,
+            conv1d_impl=self.conv1d_impl,
             compute_dtype=self.dtype, init_style="gpt2", name=name)
         # NOTE: merging the two direction scans into one grouped-A pallas
         # launch (ops/mamba.py bidirectional_scan) measured SLOWER e2e on
@@ -290,6 +292,7 @@ class TokenFusion(nn.Module):
     padded_stream: bool = False
     # reverse-direction backward branch (MambaBlock.reverse_kernel)
     reverse_scan_kernel: bool = False
+    conv1d_impl: str = "conv"
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -352,6 +355,7 @@ class TokenFusion(nn.Module):
                                self.d_conv, self.expand,
                                use_pallas=self.use_pallas, n_real=n_real,
                                reverse_kernel=self.reverse_scan_kernel,
+                               conv1d_impl=self.conv1d_impl,
                                dtype=self.dtype,
                                name=f"block{i}")(x)
         else:
@@ -384,6 +388,7 @@ class TimeMamba(nn.Module):
     d_state: int = 16
     d_conv: int = 4
     expand: int = 2
+    conv1d_impl: str = "conv"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -394,7 +399,7 @@ class TimeMamba(nn.Module):
         # the right choice at this length.
         mamba = Mamba(d_model=self.d_model, d_state=self.d_state,
                       d_conv=self.d_conv, expand=self.expand,
-                      use_pallas=False,
+                      use_pallas=False, conv1d_impl=self.conv1d_impl,
                       compute_dtype=self.dtype, name="mamba")
         mlp = nn.Dense(self.seq_len, name="mlp")
         mlp_gps = nn.Dense(self.gps_tokens, name="mlp_gps")

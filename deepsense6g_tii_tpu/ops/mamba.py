@@ -54,6 +54,59 @@ def _a_log_init(d_state):
     return init
 
 
+def causal_depthwise_conv1d(x: jnp.ndarray, w: jnp.ndarray,
+                            bias: jnp.ndarray, reverse: bool = False,
+                            impl: str = "conv") -> jnp.ndarray:
+    """Depthwise width-K causal conv over time, two selectable lowerings.
+
+    The mamba_ssm layer's conv (d_conv=4, groups=d_inner) is
+    ``y[b,t,c] = bias[c] + sum_j w[j,c] * x[b, t-(K-1)+j, c]``.
+    ``impl="conv"`` (default) is XLA's ``feature_group_count=d_inner``
+    grouped-conv lowering; ``impl="shift"`` computes the same j-ordered sum
+    as K shifted elementwise FMAs.  MEASURED DEAD END (r5): "shift" is
+    -1.6% e2e on the mamba bench (52.82 vs 53.69 samples/s/chip, same-
+    session A/B) — the grouped-conv backward's weight-grad beats the shift
+    form's per-tap reduction chain on v5e.  Kept as a tested A/B knob
+    (config.conv1d_impl / DEEPSENSE_BENCH_CONV1D).
+
+    ``reverse=True`` computes the anticausal mirror
+    ``y[b,t,c] = bias[c] + sum_j w[j,c] * x[b, t+(K-1)-j, c]`` — the same
+    j-ordered sum flip(causal(flip(x))) produces, so the bi-directional
+    flip-equivalence (``Mamba(reverse=True)(x) == flip(Mamba(flip(x)))``)
+    is bit-exact.
+
+    Shapes: x (B, L, d), w (K, 1, d) [the flax conv1d layout], bias (d,).
+    """
+    K = w.shape[0]
+    L = x.shape[1]
+    wj = w.reshape(K, -1).astype(x.dtype)          # (K, d)
+    if impl == "conv":
+        wc, pad_lr = w, (K - 1, 0)
+        if reverse:
+            wc, pad_lr = jnp.flip(w, axis=0), (0, K - 1)
+        return jax.lax.conv_general_dilated(
+            x, wc.astype(x.dtype), window_strides=(1,), padding=[pad_lr],
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=x.shape[-1]) + bias.astype(x.dtype)
+    if impl != "shift":
+        raise ValueError(f"unknown conv1d impl {impl!r}")
+    acc = None
+    for j in range(K):
+        s = K - 1 - j                               # shift magnitude
+        if s >= L:
+            continue        # this tap only ever sees the zero padding
+        if s == 0:
+            term = x * wj[j]
+        elif not reverse:
+            term = jnp.pad(x[:, :L - s], ((0, 0), (s, 0), (0, 0))) * wj[j]
+        else:
+            term = jnp.pad(x[:, s:], ((0, 0), (0, s), (0, 0))) * wj[j]
+        acc = term if acc is None else acc + term
+    if acc is None:                                 # degenerate L < 1 tap
+        acc = jnp.zeros_like(x)
+    return acc + bias.astype(x.dtype)
+
+
 class ScanInputs(NamedTuple):
     """Everything :func:`Mamba.post_scan` / the scan itself needs."""
 
@@ -92,6 +145,10 @@ class Mamba(nn.Module):
     # MambaBlock's backward branch (models/fusion.py:216-231) uses it to
     # drop its whole-stream jnp.flip before in_proj.
     reverse: bool = False
+    # "conv" (default): XLA's grouped-conv lowering; "shift": d_conv
+    # shifted elementwise FMAs — measured r5 dead end, -1.6% e2e (see
+    # causal_depthwise_conv1d).
+    conv1d_impl: str = "conv"
 
     @property
     def _d_inner(self) -> int:
@@ -146,7 +203,6 @@ class Mamba(nn.Module):
     def pre_scan(self, x: jnp.ndarray) -> ScanInputs:
         """Projections + causal conv: everything up to the selective scan."""
         cdt = self.compute_dtype
-        d_inner = self._d_inner
         dt_rank = self._dt_rank
 
         xz = self.in_proj(x.astype(cdt))
@@ -156,18 +212,9 @@ class Mamba(nn.Module):
         # reverse mode: anticausal — conv(flip(x), w)[t] at flipped position
         # L-1-t equals correlation of x with the width-flipped kernel over
         # [t, t+d_conv-1], i.e. flipped weights + right padding.
-        w = self.conv1d_weight
-        pad_lr = (self.d_conv - 1, 0)
-        if self.reverse:
-            w = jnp.flip(w, axis=0)
-            pad_lr = (0, self.d_conv - 1)
-        xs = jax.lax.conv_general_dilated(
-            xs.astype(cdt), w.astype(cdt),
-            window_strides=(1,),
-            padding=[pad_lr],
-            dimension_numbers=("NHC", "HIO", "NHC"),
-            feature_group_count=d_inner,
-        ) + self.conv1d_bias.astype(cdt)
+        xs = causal_depthwise_conv1d(
+            xs.astype(cdt), self.conv1d_weight, self.conv1d_bias,
+            reverse=self.reverse, impl=self.conv1d_impl)
         xs = jax.nn.silu(xs)
 
         x_dbl = self.x_proj(xs)

@@ -272,6 +272,48 @@ class TestMambaLayer:
         np.testing.assert_allclose(np.asarray(y1[0, :8]), np.asarray(y2[0, :8]),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_conv1d_shift_matches_grouped_conv(self, rng):
+        """The shift-FMA lowering of the depthwise causal conv (the default,
+        ops/mamba.py::causal_depthwise_conv1d) computes the same values as
+        XLA's grouped-conv lowering — causal and anticausal, including
+        tracks shorter than the window (GPS: L=2 < d_conv) — and the
+        reverse form keeps the flip-equivalence bit-exact."""
+        from deepsense6g_tii_tpu.ops.mamba import causal_depthwise_conv1d
+        w = jnp.asarray(rng.normal(size=(4, 1, 8)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+        for L in (1, 2, 3, 4, 5, 19):
+            x = jnp.asarray(rng.normal(size=(2, L, 8)).astype(np.float32))
+            for rev in (False, True):
+                a = causal_depthwise_conv1d(x, w, b, reverse=rev,
+                                            impl="conv")
+                s = causal_depthwise_conv1d(x, w, b, reverse=rev,
+                                            impl="shift")
+                np.testing.assert_allclose(np.asarray(a), np.asarray(s),
+                                           rtol=1e-5, atol=1e-6)
+            f = jnp.flip(causal_depthwise_conv1d(
+                jnp.flip(x, 1), w, b, impl="shift"), 1)
+            r = causal_depthwise_conv1d(x, w, b, reverse=True, impl="shift")
+            np.testing.assert_array_equal(np.asarray(f), np.asarray(r))
+        # gradients agree between the lowerings
+        x = jnp.asarray(rng.normal(size=(2, 19, 8)).astype(np.float32))
+        for arg in (0, 1):
+            gc = jax.grad(lambda *a: causal_depthwise_conv1d(
+                *a, b, impl="conv").sum(), argnums=arg)(x, w)
+            gs = jax.grad(lambda *a: causal_depthwise_conv1d(
+                *a, b, impl="shift").sum(), argnums=arg)(x, w)
+            np.testing.assert_allclose(np.asarray(gc), np.asarray(gs),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_mamba_layer_conv_impls_agree(self, rng):
+        """Full Mamba layer: shift vs grouped-conv lowering, same params."""
+        x = jnp.asarray(rng.normal(size=(2, 10, 64)).astype(np.float32))
+        m_s = Mamba(d_model=64, use_pallas=False, conv1d_impl="shift")
+        m_c = Mamba(d_model=64, use_pallas=False, conv1d_impl="conv")
+        v = m_s.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_allclose(np.asarray(m_s.apply(v, x)),
+                                   np.asarray(m_c.apply(v, x)),
+                                   rtol=1e-5, atol=1e-6)
+
     def test_param_structure(self):
         m = Mamba(d_model=64)
         params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 64)))["params"]
