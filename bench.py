@@ -144,7 +144,14 @@ def main():
         dev_batch = shard_stacked_batch(stacked, mesh)
         step = make_multi_train_step(
             model, cfg, tx, use_ema=True, grad_accum=GA,
-            unroll=int(os.environ.get("DEEPSENSE_BENCH_UNROLL", "1")))
+            unroll=int(os.environ.get("DEEPSENSE_BENCH_UNROLL", "1")),
+            # A/B knobs for the K-over-GA scan nest (NOTES r5):
+            # FLAT_ACCUM=1 flattens it into one scan over K*GA microbatches
+            # (conditional update); GA_UNROLL=GA inlines the inner scan.
+            flatten_accum=os.environ.get(
+                "DEEPSENSE_BENCH_FLAT_ACCUM", "0") == "1",
+            grad_accum_unroll=int(
+                os.environ.get("DEEPSENSE_BENCH_GA_UNROLL", "1")))
     else:
         dev_batch = shard_batch(batch, mesh)
         step = make_train_step(model, cfg, tx, use_ema=True, grad_accum=GA)

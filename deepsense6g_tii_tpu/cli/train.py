@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="gradient-accumulation microbatches per optimizer "
                         "step (activation memory scales with "
                         "batch/grad_accum; batch must divide evenly)")
+    p.add_argument("--flatten_accum", type=int, default=0,
+                   help="with steps_per_dispatch>1 and grad_accum>1: fuse "
+                        "the K-over-GA scan nest into one scan over K*GA "
+                        "microbatches (conditional update; identical "
+                        "trajectory)")
     p.add_argument("--opt_mu_dtype", type=str, default=None,
                    choices=["bfloat16", "float32"],
                    help="Adam first-moment storage dtype (default f32 = "
@@ -229,7 +234,8 @@ def main(argv=None) -> int:
         load_previous_best=bool(args.load_previous_best),
         finetune=bool(args.finetune), clip_grad_norm=args.grad_clip,
         steps_per_dispatch=args.steps_per_dispatch,
-        grad_accum=getattr(args, "grad_accum", 1))
+        grad_accum=getattr(args, "grad_accum", 1),
+        flatten_accum=bool(getattr(args, "flatten_accum", 0)))
 
     model = BeamFuser(cfg)
     engine = Engine(model, cfg, opts)

@@ -78,6 +78,13 @@ class TrainOptions:
     # the manual weighted-average oracle is pinned by
     # tests/test_optimizer.py::TestGradAccum.
     grad_accum: int = 1
+    # with steps_per_dispatch > 1 AND grad_accum > 1: build the dispatch as
+    # ONE lax.scan over K*GA microbatches (conditional update every GA-th)
+    # instead of a K-over-GA scan nest — identical trajectory (pinned by
+    # tests/test_engine.py::test_flat_accum_matches_nested); trades per-step
+    # while-loop overhead for a conditional in the loop body.  Measured A/B
+    # on the Mamba flagship in NOTES_NEXT_ROUND.
+    flatten_accum: bool = False
 
 
 class Engine:
@@ -124,7 +131,9 @@ class Engine:
                        rng_seed=opts.seed, grad_accum=opts.grad_accum)
         self.train_step = make_train_step(model, cfg, self.tx, **step_kw)
         self.multi_train_step = (
-            make_multi_train_step(model, cfg, self.tx, **step_kw)
+            make_multi_train_step(model, cfg, self.tx,
+                                  flatten_accum=opts.flatten_accum,
+                                  **step_kw)
             if opts.steps_per_dispatch > 1 else None)
         self.eval_step = make_eval_step(
             model, cfg, loss_name=opts.loss, temp_coef=opts.temp_coef,

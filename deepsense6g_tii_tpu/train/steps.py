@@ -77,6 +77,58 @@ def _compute_loss(cfg: GlobalConfig, loss_name: str, temp_coef: bool,
     return cross_entropy_loss(logits, target, sample_weight=weight)
 
 
+def _make_step_parts(model, cfg: GlobalConfig, tx,
+                     loss_name: str = "focal",
+                     temp_coef: bool = True,
+                     use_ema: bool = False,
+                     ema_decay: float = 0.999,
+                     clip_grad_norm: Optional[float] = None,
+                     rng_seed: int = 100):
+    """Shared building blocks for every train-step variant: the
+    value_and_grad-able ``loss_fn`` and the optimizer/EMA ``apply_update``.
+    Factored out so the nested (K-dispatch scan over a grad-accum scan) and
+    flattened (one scan over K*GA microbatches) step programs are built
+    from literally the same math."""
+
+    base_rng = jax.random.PRNGKey(rng_seed)
+
+    def loss_fn(params, batch_stats, batch, rngs):
+        batch = _upcast_f16(batch)
+        variables = {"params": params, "batch_stats": batch_stats}
+        # the mask kwarg is only threaded when the engine padded the batch,
+        # so unpadded steps keep their exact compiled program
+        mask_kw = ({"sample_mask": batch["valid"]} if "valid" in batch else {})
+        (logits, aux) = model.apply(
+            variables, *_model_inputs(batch),
+            rebuild_feats=batch.get("rebuild_feats"),
+            train=True, rngs=rngs, mutable=["batch_stats"], **mask_kw)
+        loss = _compute_loss(cfg, loss_name, temp_coef, logits, batch)
+        return loss, (logits, aux["batch_stats"])
+
+    def apply_update(state, grads, new_stats, lr):
+        if clip_grad_norm is not None:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, clip_grad_norm / (gnorm + 1e-6))
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+
+        opt_state = set_learning_rate(state.opt_state, lr)
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        if use_ema:
+            ema = jax.tree_util.tree_map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                state.ema_params, params)
+        else:
+            ema = params
+
+        return state.replace(
+            params=params, batch_stats=new_stats, opt_state=opt_state,
+            ema_params=ema, step=state.step + 1)
+
+    return base_rng, loss_fn, apply_update
+
+
 def _make_step_body(model, cfg: GlobalConfig, tx,
                     loss_name: str = "focal",
                     temp_coef: bool = True,
@@ -110,41 +162,13 @@ def _make_step_body(model, cfg: GlobalConfig, tx,
     microbatch (fold_in(step, i)).
     """
 
-    base_rng = jax.random.PRNGKey(rng_seed)
-
-    def loss_fn(params, batch_stats, batch, rngs):
-        batch = _upcast_f16(batch)
-        variables = {"params": params, "batch_stats": batch_stats}
-        # the mask kwarg is only threaded when the engine padded the batch,
-        # so unpadded steps keep their exact compiled program
-        mask_kw = ({"sample_mask": batch["valid"]} if "valid" in batch else {})
-        (logits, aux) = model.apply(
-            variables, *_model_inputs(batch),
-            rebuild_feats=batch.get("rebuild_feats"),
-            train=True, rngs=rngs, mutable=["batch_stats"], **mask_kw)
-        loss = _compute_loss(cfg, loss_name, temp_coef, logits, batch)
-        return loss, (logits, aux["batch_stats"])
+    base_rng, loss_fn, apply_update = _make_step_parts(
+        model, cfg, tx, loss_name=loss_name, temp_coef=temp_coef,
+        use_ema=use_ema, ema_decay=ema_decay,
+        clip_grad_norm=clip_grad_norm, rng_seed=rng_seed)
 
     def _apply_update(state, grads, new_stats, loss, logits, lr):
-        if clip_grad_norm is not None:
-            gnorm = optax.global_norm(grads)
-            scale = jnp.minimum(1.0, clip_grad_norm / (gnorm + 1e-6))
-            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
-
-        opt_state = set_learning_rate(state.opt_state, lr)
-        updates, opt_state = tx.update(grads, opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-
-        if use_ema:
-            ema = jax.tree_util.tree_map(
-                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
-                state.ema_params, params)
-        else:
-            ema = params
-
-        new_state = state.replace(
-            params=params, batch_stats=new_stats, opt_state=opt_state,
-            ema_params=ema, step=state.step + 1)
+        new_state = apply_update(state, grads, new_stats, lr)
         ranks = jnp.argsort(logits, axis=-1, descending=True)
         return new_state, {"loss": loss, "ranks": ranks}
 
@@ -224,8 +248,108 @@ def make_train_step(model, cfg: GlobalConfig, tx, **kw):
     return jax.jit(_make_step_body(model, cfg, tx, **kw), donate_argnums=(0,))
 
 
+def _make_flat_multi_step(model, cfg: GlobalConfig, tx, unroll: int = 1,
+                          grad_accum: int = 2, **kw):
+    """One ``lax.scan`` over all K*GA microbatches of a K-step dispatch,
+    applying the optimizer/EMA update under ``lax.cond`` on every GA-th
+    iteration — the flattened form of make_multi_train_step(grad_accum=GA),
+    which nests a GA-microbatch scan inside the K-step scan.
+
+    Motivation (measured, NOTES r3/r4): each scan level costs a ~9-12 ms
+    while-loop floor per optimizer step for the ~1.6 GB train-state carry;
+    the nested Mamba default (K=8, GA=2) pays it at both levels (xprof
+    `while` 22.4 ms/step).  Flattening runs one loop of K*GA iterations —
+    same math, one carry.
+
+    Exactness vs the nested form (pinned by tests/test_engine.py):
+    - identical RNG streams: microbatch i of optimizer step s draws
+      fold_in(fold_in(base_rng, step_s), i), where step_s is the
+      pre-update ``state.step`` carried through the scan;
+    - identical gradient combine: d-weighted gsum accumulated in the carry,
+      divided by the group's weight total at the update;
+    - BatchNorm statistics chain through every microbatch in order.
+
+    Metrics match make_multi_train_step: loss (K,), ranks (K, B, beams) —
+    microbatch logits are emitted as scan outputs and reassembled outside
+    (batch row j of step s lives at microbatch s*GA + j%GA, row j//GA).
+    """
+    GA = int(grad_accum)
+    if GA <= 1:
+        raise ValueError("flattened dispatch requires grad_accum > 1")
+    base_rng, loss_fn, apply_update = _make_step_parts(model, cfg, tx, **kw)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi_step(state: TrainState, batches, lr):
+        K = jax.tree_util.tree_leaves(batches)[0].shape[0]
+        b = jax.tree_util.tree_leaves(batches)[0].shape[1]
+        if b % GA:
+            raise ValueError(
+                f"grad_accum={GA} requires the batch ({b}) to split evenly")
+
+        def split(x):
+            # microbatch s*GA+i = batches[s][i::GA] (rows [i::GA], exactly
+            # train_step_accum's split — every device keeps b/(GA*n_dev)
+            # rows of every microbatch, no resharding)
+            return (x.reshape(K, b // GA, GA, *x.shape[2:])
+                     .swapaxes(1, 2)
+                     .reshape(K * GA, b // GA, *x.shape[2:]))
+
+        micro = jax.tree_util.tree_map(split, batches)
+        gzero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+
+        def f(carry, xs):
+            st, gsum, wsum = carry
+            mb, i = xs
+            drop_rng = jax.random.fold_in(base_rng, st.step)
+            rngs = {"dropout": jax.random.fold_in(drop_rng, i)}
+            if cfg.modality_missing is not None \
+                    and cfg.modality_missing_type == "randlike":
+                rngs["missing"] = jax.random.fold_in(
+                    jax.random.fold_in(base_rng, st.step + 1), i)
+            if "rebuild_feats" in mb:
+                rngs["rebuild"] = jax.random.fold_in(
+                    jax.random.fold_in(base_rng, st.step + 2), i)
+            (loss, (logits, stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(st.params, st.batch_stats, mb, rngs)
+            d = (jnp.maximum(mb["valid"].astype(jnp.float32).sum(), 0.0)
+                 if "valid" in mb else jnp.asarray(1.0, jnp.float32))
+            gsum = jax.tree_util.tree_map(
+                lambda a, g: a + d * g, gsum, grads)
+            wsum = wsum + d
+            st = st.replace(batch_stats=stats)
+
+            def upd(args):
+                st_, gsum_, wsum_ = args
+                denom = jnp.maximum(wsum_, 1e-9)
+                gavg = jax.tree_util.tree_map(
+                    lambda g: g / denom, gsum_)
+                new_st = apply_update(st_, gavg, st_.batch_stats, lr)
+                return (new_st, gzero, jnp.asarray(0.0, jnp.float32))
+
+            carry = jax.lax.cond(i == GA - 1, upd, lambda a: a,
+                                 (st, gsum, wsum))
+            return carry, (logits, d, d * loss)
+
+        carry0 = (state, gzero, jnp.asarray(0.0, jnp.float32))
+        (final_state, _, _), (logits_all, d_all, dl_all) = jax.lax.scan(
+            f, carry0, (micro, jnp.tile(jnp.arange(GA), K)), unroll=unroll)
+
+        # reassemble: (K*GA, b//GA, ...) -> (K, b, ...) with row j*GA+i of
+        # step s coming from microbatch s*GA+i row j (inverse of split)
+        logits = (logits_all
+                  .reshape(K, GA, b // GA, *logits_all.shape[2:])
+                  .swapaxes(1, 2)
+                  .reshape(K, b, *logits_all.shape[2:]))
+        d_k = d_all.reshape(K, GA).sum(axis=1)
+        loss = dl_all.reshape(K, GA).sum(axis=1) / jnp.maximum(d_k, 1e-9)
+        ranks = jnp.argsort(logits, axis=-1, descending=True)
+        return final_state, {"loss": loss, "ranks": ranks}
+
+    return multi_step
+
+
 def make_multi_train_step(model, cfg: GlobalConfig, tx, unroll: int = 1,
-                          **kw):
+                          flatten_accum: bool = False, **kw):
     """Returns jitted (state, batches, lr) -> (state, metrics) running one
     optimizer step per leading-axis slice of ``batches`` inside a single
     ``lax.scan`` dispatch.  ``unroll`` inlines that many step bodies per
@@ -243,7 +367,14 @@ def make_multi_train_step(model, cfg: GlobalConfig, tx, unroll: int = 1,
     ``batches``: the same pytree a single step takes, with a leading K axis
     on every leaf (stack K loader batches).  Metrics come back stacked:
     loss (K,), ranks (K, B, num_beams).
+
+    ``flatten_accum`` (requires grad_accum > 1): build the dispatch as ONE
+    scan over K*GA microbatches with a conditional update instead of the
+    K-over-GA scan nest — see _make_flat_multi_step.
     """
+    if flatten_accum and int(kw.get("grad_accum", 1)) > 1:
+        kw.pop("grad_accum_unroll", None)
+        return _make_flat_multi_step(model, cfg, tx, unroll=unroll, **kw)
     body = _make_step_body(model, cfg, tx, **kw)
 
     @functools.partial(jax.jit, donate_argnums=(0,))

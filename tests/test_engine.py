@@ -176,6 +176,45 @@ class TestTrainStep:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-6, atol=1e-7)
 
+    def test_flat_accum_matches_nested(self, rng):
+        """flatten_accum=True (one scan over K*GA microbatches with a
+        conditional update) reproduces the nested K-over-GA dispatch
+        exactly: same RNG streams, same d-weighted gradient combine, same
+        BN-stat chain -> identical params/EMA/stats trajectory and stacked
+        metrics (steps.py::_make_flat_multi_step)."""
+        K, GA = 3, 2
+        model = TinyFuser(CFG)
+        batches = [make_batch(rng, B=4) for _ in range(K)]
+        devs = [{k: jnp.asarray(v) for k, v in b.items() if k != "scenario"}
+                for b in batches]
+        tx = make_optimizer()
+        variables = model.init(jax.random.PRNGKey(0), devs[0]["image"],
+                               devs[0]["lidar"], devs[0]["radar"],
+                               devs[0]["gps"])
+        v2 = jax.tree_util.tree_map(jnp.array, variables)
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *devs)
+        stacked2 = jax.tree_util.tree_map(jnp.array, stacked)
+
+        nested = make_multi_train_step(model, CFG, tx, use_ema=True,
+                                       grad_accum=GA)
+        flat = make_multi_train_step(model, CFG, tx, use_ema=True,
+                                     grad_accum=GA, flatten_accum=True)
+        s_n, m_n = nested(create_train_state(variables, tx), stacked, 1e-3)
+        s_f, m_f = flat(create_train_state(v2, tx), stacked2, 1e-3)
+
+        assert int(s_f.step) == K
+        np.testing.assert_allclose(np.asarray(m_f["loss"]),
+                                   np.asarray(m_n["loss"]), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(m_f["ranks"]),
+                                      np.asarray(m_n["ranks"]))
+        for tree_n, tree_f in ((s_n.params, s_f.params),
+                               (s_n.ema_params, s_f.ema_params),
+                               (s_n.batch_stats, s_f.batch_stats)):
+            for a, b in zip(jax.tree_util.tree_leaves(tree_n),
+                            jax.tree_util.tree_leaves(tree_f)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-6, atol=1e-7)
+
     def test_ema_tracks_params(self, rng):
         model = TinyFuser(CFG)
         batch = make_batch(rng, B=4)
