@@ -79,16 +79,17 @@ def main():
     # the tunneled host's ~30 ms/step dispatch+sync gap off the measurement,
     # exactly as the production engine runs (train/engine.py::_staged_train).
     K = int(os.environ.get("DEEPSENSE_BENCH_K", 8 if on_tpu else 1))
-    # gradient-accumulation microbatches per optimizer step (activation
-    # memory scales with B/GA; the update is exactly the full-B gradient)
-    default_ga = 2 if (on_tpu and arch == "mamba") else 1
-    GA = int(os.environ.get("DEEPSENSE_BENCH_GRAD_ACCUM", default_ga))
-
     # DEEPSENSE_BENCH_30TO5=1 benches the 30-to-5 multi-step variant
     # (10 input frames, 5 predicted beams, 1922 fused tokens + GRU decoder
     # — config_seq_30to5.py); the doubled token/frame count roughly doubles
-    # activation memory, so halve the per-chip batch via DEEPSENSE_BENCH_B.
+    # activation memory, so B=16 runs as 2 accumulated microbatches.
     to5 = os.environ.get("DEEPSENSE_BENCH_30TO5", "0") == "1"
+    # gradient-accumulation microbatches per optimizer step (activation
+    # memory scales with B/GA; the update is exactly the full-B gradient).
+    # Measured optima on one v5e: mamba B=16 GA=2 beats B=8 plain (53.7 vs
+    # 52.9, r3); 30to5 B=16 GA=2 beats B=8 plain (43.7 vs 42.9, r5).
+    default_ga = 2 if (on_tpu and (arch == "mamba" or to5)) else 1
+    GA = int(os.environ.get("DEEPSENSE_BENCH_GRAD_ACCUM", default_ga))
     make_cfg = config_30to5 if to5 else GlobalConfig
     cfg = make_cfg(use_pallas_scan=on_tpu,
                        compute_dtype="bfloat16" if on_tpu else "float32",
