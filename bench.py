@@ -71,9 +71,12 @@ def main():
     arch = os.environ.get("DEEPSENSE_BENCH_ARCH", "gpt")
     # measured per-chip batch optima on v5e (NOTES_NEXT_ROUND): GPT 16
     # (flash attention frees the attention residuals; 90.9 vs 86.9
-    # samples/s/chip at 8), Mamba 16 with grad_accum=2 (plain B=16 OOMs by
-    # 20 MB; two scanned microbatches fit and beat B=8: 53.7 vs 52.9).
+    # samples/s/chip at 8; plain 32 loses 9%), Mamba 32 as 4 scanned
+    # grad-accum microbatches of 8 (r5 frontier: 54.4 at B=32 GA=4 >
+    # 53.7 at B=16 GA=2 > 53.2 at B=64 GA=8 > 52.9 at B=8 plain).
     default_b = 16 if on_tpu else 1
+    if on_tpu and arch == "mamba":
+        default_b = 32
     B = int(os.environ.get("DEEPSENSE_BENCH_B", default_b)) * n_chips
     # steps fused per dispatch (Engine steps_per_dispatch / lax.scan): takes
     # the tunneled host's ~30 ms/step dispatch+sync gap off the measurement,
@@ -86,9 +89,13 @@ def main():
     to5 = os.environ.get("DEEPSENSE_BENCH_30TO5", "0") == "1"
     # gradient-accumulation microbatches per optimizer step (activation
     # memory scales with B/GA; the update is exactly the full-B gradient).
-    # Measured optima on one v5e: mamba B=16 GA=2 beats B=8 plain (53.7 vs
-    # 52.9, r3); 30to5 B=16 GA=2 beats B=8 plain (43.7 vs 42.9, r5).
-    default_ga = 2 if (on_tpu and (arch == "mamba" or to5)) else 1
+    # Measured optima on one v5e (NOTES r5): mamba B=32 GA=4 (54.4);
+    # 30to5 B=16 GA=2 beats B=8 plain (43.7 vs 42.9).
+    default_ga = 1
+    if on_tpu and arch == "mamba":
+        default_ga = 4
+    elif on_tpu and to5:
+        default_ga = 2
     GA = int(os.environ.get("DEEPSENSE_BENCH_GRAD_ACCUM", default_ga))
     make_cfg = config_30to5 if to5 else GlobalConfig
     cfg = make_cfg(use_pallas_scan=on_tpu,
